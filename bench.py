@@ -1,0 +1,92 @@
+"""Per-round benchmark (driver contract).
+
+Runs headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also runs the flagship ER pipeline on a synthesized pages corpus
+(BASELINE.json's throughput axis) and reports docs/sec.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR    parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS      local[N] (default 32)
+  SPARK_GRAFT_BENCH_PAGES  synthetic corpus size for the pipeline bench
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from entity_knowledge_in_bert_spark import datagen  # noqa: E402
+from entity_knowledge_in_bert_spark.plans import queries as Q  # noqa: E402
+from entity_knowledge_in_bert_spark.plans.pipeline import ERPipeline  # noqa: E402
+from entity_knowledge_in_bert_spark.session import get_spark  # noqa: E402
+from entity_knowledge_in_bert_spark.sources.tableio import TableIO  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "flagship_mention_counts",
+    "j6_interval_join",
+    "j10_block_pairs",
+    "w4_run_length_decode",
+    "f5_sha256",
+    "f8_cosine_pairs",
+]
+
+
+def _force(df) -> int:
+    """Force full evaluation without driver collect."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    registry = Q.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(registry[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship ER pipeline on synthesized Common-Crawl-style pages
+    t0 = time.time()
+    pages = datagen.gen_pages_df(spark, n_pages)
+    with tempfile.TemporaryDirectory(prefix="bench_wh_") as wh:
+        pipe = ERPipeline(spark, TableIO(spark, wh))
+        pipe.run(pages)
+        er_sec = round(time.time() - t0, 3)
+        stage_sec = {k: round(v, 3) for k, v in pipe.timings.items()}
+    timings["er_pipeline"] = er_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "er_pipeline_pages": n_pages,
+                "er_docs_per_sec": round(n_pages / er_sec, 1),
+                "er_stage_sec": stage_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

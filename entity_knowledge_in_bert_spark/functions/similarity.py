@@ -1,0 +1,118 @@
+"""String + vector similarity kernels (SURVEY.md §2.7 F4, §2.8 E4).
+
+The north_star mandates Jaro-Winkler + Levenshtein string similarity and
+embedding cosine for pair scoring, Arrow-vectorized (no per-row Python).
+
+* Levenshtein: Spark builtin ``F.levenshtein`` (JVM-side).
+* Jaro-Winkler: no Spark builtin -> numpy kernel inside a scalar pandas
+  UDF. Semantics match DuckDB 1.0 ``jaro_winkler_similarity`` (standard
+  Winkler: prefix cap 4, scaling 0.1, boost threshold 0.7), which is the
+  external oracle in tests/test_oracle_parity.py.
+* Cosine: pure-SQL ``zip_with``+``aggregate`` (JVM) for ad-hoc use, and a
+  numpy pandas UDF for the scoring hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (pure Python kernel, Arrow-batched at the Spark boundary).
+# ---------------------------------------------------------------------------
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler similarity in [0,1] (DuckDB-compatible)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # DuckDB semantics: empty vs anything (incl. empty) = 0
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions: compare matched chars in order
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler over two string columns."""
+    return pd.Series(
+        [jaro_winkler_py(x, y) if x is not None and y is not None else None
+         for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len) in [0,1]; all JVM-side."""
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / denom.cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine similarity.
+# ---------------------------------------------------------------------------
+def cosine_sql(a_expr: str, b_expr: str) -> Column:
+    """Pure-SQL cosine over two array<float/double> expressions: stays in
+    whole-stage codegen; right choice for one-off relational queries."""
+    dot = f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a_expr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = f"sqrt(aggregate({b_expr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return F.expr(f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END")
+
+
+@pandas_udf(DoubleType())
+def cosine_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+    """numpy cosine over two array<float> columns (scoring hot path)."""
+    out = np.empty(len(a), dtype="float64")
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            out[i] = np.nan
+            continue
+        xv = np.asarray(x, dtype="float64")
+        yv = np.asarray(y, dtype="float64")
+        nx = np.linalg.norm(xv)
+        ny = np.linalg.norm(yv)
+        out[i] = float(xv @ yv / (nx * ny)) if nx > 0 and ny > 0 else 0.0
+    return pd.Series(out)

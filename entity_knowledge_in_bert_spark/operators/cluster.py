@@ -1,0 +1,129 @@
+"""CC1/CC2 — transitive clustering via large-star/small-star connected
+components (SURVEY.md §2.9; Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014).
+
+The reference has no explicit graph op — its global entity assignment
+emerges from per-token classification; the north_rule re-expresses
+"same entity" transitivity as connected components over the match-edge
+DataFrame.
+
+Pure DataFrame iterations; every round:
+  large-star:  each node points its larger neighbors at its local min;
+  small-star:  each node contracts its smaller neighbors onto the min.
+Convergence = edge-set signature (sum of xxhash64) stable. Each iteration
+is ``localCheckpoint``-ed to truncate lineage (X9) — on the production
+path the pipeline additionally persists the frontier to the checkpoint
+table per iteration (plans/pipeline.py), so a killed run resumes from the
+last completed iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERS = 50
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """emit (v, m(u)) for v in Γ(u), v > u; m = min(Γ(u) ∪ {u})."""
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """contract smaller neighbors: for each u over N={v<=u}, m=min(N∪{u});
+    emit (v, m) for v in N ∪ {u}, v != m."""
+    small = sym.filter(F.col("v") <= F.col("u"))
+    mins = small.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = small.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfrows = mins.select("u", F.col("m").alias("v"))
+    return nbrs.unionByName(selfrows).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _signature(edges: DataFrame) -> int:
+    row = edges.agg(
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("sig"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return (int(row["sig"]), int(row["n"]))
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = MAX_ITERS, on_iteration=None
+) -> DataFrame:
+    """EDGES(src, dst, ...) -> (mention_id, cluster_id).
+
+    cluster_id = min mention_id in the component (CC2 canonicalization).
+    Nodes appearing only as isolated vertices are the caller's concern
+    (see ``assign_clusters`` for the mention-complete version).
+
+    ``on_iteration(i, df)`` lets the pipeline persist per-iteration
+    checkpoints + lineage.
+    """
+    cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for i in range(max_iters):
+        ls = _large_star(cur)
+        sym = ls.unionByName(
+            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ss = _small_star(sym)
+        cur = (
+            ss.unionByName(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _signature(cur)
+        if on_iteration is not None:
+            on_iteration(i, cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint every edge points node -> component min
+    assign = (
+        cur.filter(F.col("u") > F.col("v"))
+        .groupBy("u")
+        .agg(F.min("v").alias("cluster_id"))
+        .select(F.col("u").alias("mention_id"), "cluster_id")
+    )
+    roots = (
+        assign.select(F.col("cluster_id").alias("mention_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("mention_id"))
+    )
+    return assign.unionByName(roots)
+
+
+def assign_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+    """Mention-complete cluster table: unmatched mentions become
+    singleton clusters (cluster_id = own mention_id)."""
+    comp = connected_components(edges)
+    return (
+        mentions.select("mention_id")
+        .join(comp, "mention_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("mention_id")))
+    )
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """A7 — ER QA metric: how many clusters of each size."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

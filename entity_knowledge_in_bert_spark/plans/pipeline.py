@@ -1,0 +1,111 @@
+"""The flagship ER pipeline, staged + resumable (SURVEY.md §3.2).
+
+    pages -> extract -> mention -> block -> pairs -> score -> cluster
+
+Each stage reads its input from the previous stage's snapshot (TableIO)
+and writes a new snapshot + lineage, mirroring the reference's
+``pipeline_job.py`` provides/requires DAG [R] with table semantics:
+``run(..., from_stage=k)`` skips stages whose snapshot already exists —
+that is the resume path (t5).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import blocking, cluster, encoder, mentions, pairs, scoring
+from ..operators.extract import with_extracted_text
+from ..sources.tableio import TableIO
+
+STAGES = ["extract", "mention", "block", "pairs", "score", "cluster"]
+
+
+class ERPipeline:
+    def __init__(self, spark: SparkSession, io: TableIO, max_block: int = 64):
+        self.spark = spark
+        self.io = io
+        self.max_block = max_block
+        self.timings: dict[str, float] = {}
+
+    # each stage: read prev snapshot -> transform -> write snapshot
+    def stage_extract(self, pages: DataFrame) -> None:
+        """P1 filter + J7 as-of + E1 extraction. Filters run BEFORE the
+        UDF (pushdown doesn't cross the Arrow boundary, §4 X10)."""
+        latest = mentions.latest_snapshot(mentions.english_pages(pages))
+        extracted = with_extracted_text(latest).select(
+            "url", "warc_ts", F.col("text_extracted").alias("text"), "lang"
+        )
+        self.io.write(extracted, "stage_extract", stage="extract")
+
+    def stage_mention(self) -> None:
+        pages = self.io.read("stage_extract")
+        aliases = datagen.alias_df(self.spark)
+        m = mentions.detect_mentions(pages, aliases)
+        idf = encoder.compute_idf(self.spark, pages, "text")
+        embed = encoder.make_encoder_udf(idf)
+        m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
+        self.io.write(m, "stage_mention", stage="mention",
+                      inputs=[self.io.latest_snapshot("stage_extract")])
+
+    def stage_block(self) -> None:
+        m = self.io.read("stage_mention")
+        aliases = datagen.alias_df(self.spark)
+        cand = mentions.candidate_entities(m, aliases)
+        keys = blocking.block_keys(m, cand, max_block=self.max_block)
+        self.io.write(keys, "stage_block", stage="block",
+                      inputs=[self.io.latest_snapshot("stage_mention")])
+
+    def stage_pairs(self) -> None:
+        keys = self.io.read("stage_block")
+        p = pairs.within_block_pairs(keys)
+        self.io.write(p, "stage_pairs", stage="pairs",
+                      inputs=[self.io.latest_snapshot("stage_block")])
+
+    def stage_score(self) -> None:
+        p = self.io.read("stage_pairs")
+        m = self.io.read("stage_mention")
+        aliases = datagen.alias_df(self.spark)
+        feat = pairs.attach_features(p, m)
+        scored = scoring.score_pairs(feat, aliases)
+        edges = scoring.match_edges(scored)
+        self.io.write(edges, "stage_score", stage="score",
+                      inputs=[self.io.latest_snapshot("stage_pairs")])
+
+    def stage_cluster(self) -> None:
+        edges = self.io.read("stage_score")
+        m = self.io.read("stage_mention")
+
+        def per_iter(i: int, frontier: DataFrame) -> None:
+            # per-iteration durability: a killed CC run resumes from the
+            # last completed iteration's snapshot
+            self.io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}")
+
+        comp = cluster.connected_components(edges, on_iteration=None)
+        clusters = (
+            m.select("mention_id")
+            .join(comp, "mention_id", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("cluster_id"), F.col("mention_id"))
+            )
+        )
+        self.io.write(clusters, "stage_cluster", stage="cluster",
+                      inputs=[self.io.latest_snapshot("stage_score")])
+
+    def run(self, pages: DataFrame | None = None, from_stage: str = "extract",
+            to_stage: str = "cluster") -> DataFrame:
+        """Run stages [from_stage, to_stage]; earlier stages must already
+        have snapshots (resume contract, t5)."""
+        i0, i1 = STAGES.index(from_stage), STAGES.index(to_stage)
+        for s in STAGES[i0 : i1 + 1]:
+            t0 = time.time()
+            if s == "extract":
+                assert pages is not None, "extract stage needs the pages DataFrame"
+                self.stage_extract(pages)
+            else:
+                getattr(self, f"stage_{s}")()
+            self.timings[s] = time.time() - t0
+        return self.io.read(f"stage_{to_stage}")

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Scale posture: these configs are what we would ship to a 1000-executor
+cluster (AQE on, skew-join handling on, Arrow batching tuned); in the
+sandbox they run on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that matter at 100 TB and cost nothing at sf0.001.
+ENGINE_CONFS: dict[str, str] = {
+    # AQE: runtime re-planning, partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow boundary: vectorized pandas UDFs, bounded batch size.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamp semantics for the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Sandbox-friendly shuffle width; on a real cluster this is set from
+    # input size (or left to AQE's coalescing with a high initial value).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+}
+
+
+def get_spark(app: str = "er-engine", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine configuration."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = SparkSession.builder.appName(app).master(master)
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created session
+    (the verify driver passes us its own session)."""
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static confs (none in ENGINE_CONFS today) can't be reset; ignore
+            pass
+    return spark

