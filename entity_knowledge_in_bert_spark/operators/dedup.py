@@ -1,0 +1,205 @@
+"""Deduplication suite over document corpora (driver mandate: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Design rule: every kernel is a closed-form Catalyst expression
+(sha256-hex string minhashes, nibble-arithmetic simhash) so that
+
+  (a) results are deterministic under any partitioning/cluster size, and
+  (b) the exact same computation is expressible in ANSI SQL for the
+      DuckDB oracle — the dedup operators are *value-checked*, not just
+      rows-only.
+
+At 100 TB the same expressions run unchanged: shingling+minhash is a
+narrow map (no shuffle), the LSH bucket join shuffles on (band_id,
+band_hash) — bounded buckets, AQE-skew-safe — and the pair dedup is a
+groupBy on the pair key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles_sql
+
+MINHASH_K = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+
+
+def with_exact_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup key: sha256 of the raw text."""
+    return docs.withColumn("text_sha", F.sha2(F.col(text_col), 256))
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(text_sha, n_copies, keep_id): groups with >1 copy; keeper = min id."""
+    return (
+        with_exact_hash(docs)
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram shingles."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles_sql(f"split({text_col}, ' ')", n))
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): sha256-hex string minhashes.
+
+    minhash_i = min over shingles of sha256(i || ':' || shingle) —
+    lexicographic min over hex strings; identical in any SQL engine.
+    """
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signatures, bucket-join, dedup -> (doc_a, doc_b)."""
+    n_bands = k // rows
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.sha2(F.concat_ws(",", *parts), 256).alias("band_hash"),
+            )
+        )
+    keyed = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band_id"), F.col("bk.band_hash"))
+    a = keyed.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    shingles_a: DataFrame, shingles_b: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Jaccard of distinct-shingle sets for given (doc_a, doc_b) pairs —
+    relational form: |A∩B| via shingle equi-join, sizes via groupBy."""
+    sa = shingles_a.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    sb = shingles_b.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    inter = (
+        pairs.join(
+            shingles_a.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shingles_b.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna(0, ["n_inter"])
+        .join(sa.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
+        .join(sb.select(F.col("doc_id").alias("doc_b"), "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            # half-up floor: jaccard is an integer ratio and SQL round()
+            # rules differ exactly at .5 boundaries across engines
+            F.floor(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0,
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash from token sha256 nibbles.
+
+    bit b of token t = (hexval(sha256(t)[b//4]) >> (b%4)) & 1;
+    simhash bit b   = 1 iff sum over tokens of (2*bit - 1) > 0.
+
+    Closed-form integer arithmetic only -> byte-identical in DuckDB.
+    (The library also ships a 64-bit variant via the same expression with
+    16 hex chars; 16 bits keeps the oracle SQL readable.)
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.sha2(F.col("tok"), 256))
+    aggs = []
+    for b in range(16):
+        nib = F.expr(f"instr('{_HEX}', substring(h, {b // 4 + 1}, 1)) - 1")
+        bit = (F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))) * 2 - 1
+        aggs.append(F.sum(bit).alias(f"s{b}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0)
+    for b in range(16):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the high
+    byte (at scale: multi-probe over rotated bands instead of a full
+    cross-join)."""
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        a.join(b, F.shiftright(a["sh_a"], 8) == F.shiftright(b["sh_b"], 8))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-dup within blocks -> (vec_a, vec_b, cos)."""
+    from ..functions.similarity import cosine_sql
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col(block_col).alias("blk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col(block_col).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_sql("emb_a", "emb_b"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

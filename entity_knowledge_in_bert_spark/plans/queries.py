@@ -281,7 +281,7 @@ def j10_block_pairs(spark, sf_dir):
     "round(SUM(l_quantity), 2) AS sum_qty, "
     "round(SUM(l_extendedprice), 2) AS sum_base_price, "
     "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-    "round(AVG(l_quantity), 4) AS avg_qty, "
+    "floor(AVG(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty, "
     "round(AVG(l_discount), 4) AS avg_disc, "
     "COUNT(*) AS count_order "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus",
@@ -294,7 +294,7 @@ def q1_pricing_summary(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "sum_disc_price"
         ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        (F.floor(F.avg("l_quantity") * 10000.0 + 0.5) / 10000.0).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
@@ -502,7 +502,7 @@ def f4_levenshtein_pairs(spark, sf_dir):
 @q(
     "f4_jaro_winkler_pairs",
     "SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b, "
-    "round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw "
+    "floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000 + 0.5) / 10000 AS jw "
     "FROM part a JOIN part b ON a.p_brand = b.p_brand "
     "AND a.p_partkey < b.p_partkey",
 )
@@ -524,7 +524,8 @@ def f4_jaro_winkler_pairs(spark, sf_dir):
         .select(
             "partkey_a",
             "partkey_b",
-            F.round(jaro_winkler(F.col("name_a"), F.col("name_b")), 4).alias("jw"),
+            (F.floor(jaro_winkler(F.col("name_a"), F.col("name_b")) * 10000.0 + 0.5)
+             / 10000.0).alias("jw"),
         )
     )
 
@@ -572,9 +573,9 @@ def f7_math_kernels(spark, sf_dir):
 @q(
     "f8_cosine_pairs",
     "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-    "round(list_dot_product(a.embedding, b.embedding) / "
-    "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
-    "sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos "
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos "
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
     "WHERE a.vec_id < 15 AND b.vec_id < 15",
 )
@@ -606,5 +607,510 @@ def f10_json_extract(spark, sf_dir):
             F.sum(
                 F.get_json_object("props", "$.k").cast("bigint")
             ).alias("k_sum")
+        )
+    )
+
+
+# ==========================================================================
+# Deduplication suite (driver mandate) — value-checked vs DuckDB
+# ==========================================================================
+# shared synthetic dup-injected corpus: documents ∪ exact copies (id%7==0,
+# +1_000_000) ∪ truncated near-dup mutants (id%11==0, +2_000_000)
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, greatest(20, length(text) - 15)) AS text
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(20, length(text) - 15))").alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@q(
+    "dedup_exact_groups",
+    f"WITH {_CORPUS_CTE} "
+    "SELECT text_sha, n_copies, keep_id FROM ("
+    "SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies, "
+    "MIN(doc_id) AS keep_id FROM corpus GROUP BY sha256(text)) t "
+    "WHERE n_copies > 1",
+)
+def dedup_exact_groups(spark, sf_dir):
+    from ..operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_dup_corpus(spark, sf_dir))
+
+
+# word-3-gram shingle CTEs shared by the minhash/jaccard oracles
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
+
+
+@q(
+    "dedup_minhash_lsh_pairs",
+    f"WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, "
+    """
+mh AS (
+  SELECT doc_id, i,
+         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles CROSS JOIN range(8) r(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 2 AS band_id,
+         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
+  FROM mh GROUP BY doc_id, i // 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(word_shingles(corpus))
+    return lsh_candidate_pairs(sigs)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, "
+    """
+pairs AS (
+  SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
+  FROM documents WHERE doc_id % 11 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       floor(COALESCE(n_inter, 0)::DOUBLE /
+             (za.n + zb.n - COALESCE(n_inter, 0)) * 10000 + 0.5) / 10000 AS jaccard
+FROM pairs p
+LEFT JOIN inter USING (doc_a, doc_b)
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard, word_shingles
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sh = word_shingles(corpus)
+    pairs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 2000000).alias("doc_b"),
+        )
+    )
+    return ngram_jaccard(sh, sh, pairs)
+
+
+def _simhash_oracle_sql() -> str:
+    sums = []
+    for b in range(16):
+        pos, sh = b // 4 + 1, b % 4
+        sums.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+            f" >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "hs AS (SELECT doc_id, sha256(tok) AS h FROM toks), "
+        f"sums AS (SELECT doc_id, {', '.join(sums)} FROM hs GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bits} AS INT) AS simhash FROM sums"
+    )
+
+
+@q("dedup_simhash", _simhash_oracle_sql())
+def dedup_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash16
+
+    return simhash16(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos "
+    "FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.3",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from ..operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        T(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+    )
+
+
+# ==========================================================================
+# Similarity search / ANN (driver mandate)
+# ==========================================================================
+_COS_AB = (
+    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)"
+)
+
+
+@q(
+    "ann_bruteforce_topk",
+    f"""
+SELECT query_id, cand_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_AB} AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 5) t
+WHERE rank <= 10
+""",
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    from ..operators.ann import bruteforce_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    return bruteforce_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+@q(
+    "ann_anchor_lsh_buckets",
+    """
+WITH anchors AS (
+  SELECT vec_id AS anchor_rank, embedding AS a_emb FROM embeddings
+  WHERE vec_id < 4)
+SELECT e.vec_id, CAST(SUM(
+  CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], a.a_emb::DOUBLE[]) /
+       (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        sqrt(list_dot_product(a.a_emb::DOUBLE[], a.a_emb::DOUBLE[]))), 6) >= 0
+  THEN 1 << CAST(anchor_rank AS INT) ELSE 0 END) AS INT) AS bucket
+FROM embeddings e CROSS JOIN anchors a
+GROUP BY e.vec_id
+""",
+)
+def ann_anchor_lsh_buckets(spark, sf_dir):
+    from ..operators.ann import anchor_lsh_buckets
+
+    e = T(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_rank"), "embedding"
+    )
+    return anchor_lsh_buckets(e, anchors)
+
+
+@q("ann_ivf_topk", None)  # centroid sampling uses xxhash64 -> rows-only
+def ann_ivf_topk(spark, sf_dir):
+    from ..operators.ann import ivf_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+# ==========================================================================
+# Text analysis (driver mandate)
+# ==========================================================================
+@q(
+    "text_lang_id",
+    """
+WITH scored AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','data','fast','slow'], t))) AS en_hits,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['der','die','das','und','nicht'], t))) AS de_hits,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['el','la','los','que','de'], t))) AS es_hits
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       WHEN es_hits > 0 THEN 'es'
+       ELSE 'und' END AS predicted_lang,
+  en_hits, de_hits, es_hits
+FROM scored
+""",
+)
+def text_lang_id(spark, sf_dir):
+    from ..operators.textstats import lang_id
+
+    return lang_id(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_quality_score",
+    """
+WITH base AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','data','fast','slow'], t))) AS stop_hits,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+  FROM documents)
+SELECT doc_id, n_tokens,
+  floor((length(text) - (n_tokens - 1)) / n_tokens::DOUBLE * 10000 + 0.5) / 10000 AS avg_token_len,
+  floor(stop_hits / n_tokens::DOUBLE * 10000 + 0.5) / 10000 AS stopword_ratio,
+  floor(alpha_chars / length(text)::DOUBLE * 10000 + 0.5) / 10000 AS alpha_ratio,
+  floor((least(n_tokens / 64.0, 1.0) * 0.4 +
+        least(floor(stop_hits / n_tokens::DOUBLE * 10000 + 0.5) / 10000 * 4.0, 1.0) * 0.3 +
+        floor(alpha_chars / length(text)::DOUBLE * 10000 + 0.5) / 10000 * 0.3) * 10000 + 0.5) / 10000 AS quality
+FROM base
+""",
+)
+def text_quality_score(spark, sf_dir):
+    from ..operators.textstats import quality_score
+
+    return quality_score(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_token_counts",
+    "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+    "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) "
+    "AS bpe_tokens FROM documents",
+)
+def text_token_counts(spark, sf_dir):
+    from ..operators.textstats import token_counts
+
+    return token_counts(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents)
+SELECT doc_id,
+  CAST(SUM(('0x' || substr(sha256(tok), 1, 8))::BIGINT * ((pos % 31) + 1))
+       % 1000000007 AS BIGINT) AS fingerprint
+FROM toks GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    from ..operators.textstats import fingerprint
+
+    return fingerprint(T(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Multimodal (driver mandate; decode is stubbed, plumbing is real)
+# ==========================================================================
+@q(
+    "mm_asset_meta",
+    """
+SELECT doc_id AS asset_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS payload_sha,
+  CAST(16 + doc_id % 64 AS INT) AS meta_width,
+  CAST(16 + doc_id % 48 AS INT) AS meta_height
+FROM documents
+""",
+)
+def mm_asset_meta(spark, sf_dir):
+    from ..operators.multimodal import asset_meta, synth_assets
+
+    return asset_meta(synth_assets(T(spark, sf_dir, "documents")))
+
+
+@q("mm_extract_features", None)  # decode stub -> rows-only
+def mm_extract_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(T(spark, sf_dir, "documents")))
+
+
+# ==========================================================================
+# Streaming (T1-T6); tumbling counts value-checked vs the batch oracle
+# ==========================================================================
+@q(
+    "stream_tumbling_counts",
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2",
+)
+def stream_tumbling_counts(spark, sf_dir):
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_stream_to_table,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_table(
+        spark, tumbling_counts(stream), output_mode="complete"
+    )
+
+
+@q(
+    "stream_dedup_count",
+    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+)
+def stream_dedup_count(spark, sf_dir):
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_stream_to_table,
+        stateful_dedup,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = run_stream_to_table(
+        spark, stateful_dedup(stream, watermark="8760 hours")
+    )
+    return deduped.agg(F.countDistinct("event_id").alias("n_unique"))
+
+
+@q(
+    "session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id
+         ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def session_windows(spark, sf_dir):
+    """F.session_window works identically on batch DataFrames — the
+    streaming T4 operator, value-checked via gaps-and-islands SQL."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ==========================================================================
+# ER pipeline surfaces (iterative / ml — rows-only by contract)
+# ==========================================================================
+def _er_scale(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 200
+    if "0.01" in sf_dir:
+        return 600
+    return 2000
+
+
+@q("er_pipeline_clusters", None)
+def er_pipeline_clusters(spark, sf_dir):
+    import tempfile
+
+    from .. import datagen
+    from ..sources.tableio import TableIO
+    from .pipeline import ERPipeline
+
+    n = _er_scale(sf_dir)
+    pages = datagen.gen_pages_df(spark, n)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
+    clusters = ERPipeline(spark, io).run(pages)
+    from ..operators.cluster import cluster_size_histogram
+
+    return cluster_size_histogram(clusters)
+
+
+@q("er_block_size_histogram", None)
+def er_block_size_histogram(spark, sf_dir):
+    from .. import datagen
+    from ..operators import blocking, mentions
+    from ..operators.extract import with_extracted_text
+
+    n = _er_scale(sf_dir)
+    pages = datagen.gen_pages_df(spark, n)
+    latest = mentions.latest_snapshot(mentions.english_pages(pages))
+    extracted = with_extracted_text(latest).select(
+        "url", F.col("text_extracted").alias("text")
+    )
+    aliases = datagen.alias_df(spark)
+    m = mentions.detect_mentions(extracted, aliases)
+    cand = mentions.candidate_entities(m, aliases)
+    keys = blocking.block_keys(m, cand)
+    return blocking.block_stats(keys)
+
+
+@q("minhash_lsh_ml", None)
+def minhash_lsh_ml(spark, sf_dir):
+    """pyspark.ml MinHashLSH (JVM estimator path) over document token
+    sets — the library alternative to the closed-form LSH."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", binary=True, vocabSize=1 << 16
+    )
+    model = cv.fit(docs)
+    feat = model.transform(docs)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(feat)
+    # tight threshold: the word-soup corpus has high baseline token
+    # overlap; 0.3 keeps the candidate set near-dup-only (and the driver's
+    # collect bounded at sf0.01)
+    joined = mh.approxSimilarityJoin(feat, feat, 0.3, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
     )

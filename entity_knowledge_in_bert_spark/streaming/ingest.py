@@ -1,0 +1,99 @@
+"""T1-T6 — Structured Streaming ingest path (SURVEY.md §2.10).
+
+The reference is entirely batch [P]; this is the engine's incremental
+path for crawl batches: readStream over the bronze directory, watermarked
+event-time windows, stateful dedup, idempotent foreachBatch sink.
+
+Batch/stream parity: every streaming aggregation here has an identical
+batch formulation (``F.window`` works on batch DataFrames), which is what
+the DuckDB oracle checks; the streaming tests assert stream(availableNow)
+== batch on the same input.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """T1: file-source stream with an explicit schema (schema inference is
+    forbidden on streaming sources at scale).
+
+    The file source requires a directory; when given a single parquet
+    file, stage a symlink directory (the bronze-landing-dir shape).
+    """
+    import os
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T2+T3: watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+
+
+def sliding_value_sum(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T4: sliding window (1h window, 15m slide) value sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "value_sum",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5: drop duplicate event_ids within the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession, stream_df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """T6: run a streaming query to completion (availableNow) into an
+    in-memory table; returns the materialized result as a DataFrame.
+
+    foreachBatch+MERGE is the production sink; the memory sink keeps the
+    same exactly-once contract for tests/oracle comparison.
+    """
+    name = f"stream_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,126 @@
+"""Behavioral invariants for the dedup/ANN/textstats suites (beyond the
+value-level oracle parity in test_oracle_parity.py)."""
+
+from pyspark.sql import functions as F
+
+from entity_knowledge_in_bert_spark.operators import ann, dedup, textstats
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_injected_copies(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    groups = dedup.exact_dup_groups(d.unionByName(copies))
+    n_expected = d.filter(F.col("doc_id") % 7 == 0).count()
+    assert groups.count() == n_expected
+    # keeper is always the original (min id)
+    assert groups.filter(F.col("keep_id") >= 1000000).count() == 0
+
+
+def test_lsh_recalls_exact_and_near_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text").limit(300)
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(20, length(text) - 10))").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    sigs = dedup.minhash_signatures(dedup.word_shingles(corpus))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    expected = near.select((F.col("doc_id") - 1000000).alias("doc_a"),
+                           F.col("doc_id").alias("doc_b"))
+    missed = expected.join(pairs, ["doc_a", "doc_b"], "left_anti").count()
+    # truncating 10 chars leaves jaccard >= ~0.85: 2-row bands must catch
+    # nearly all; allow a small tail
+    assert missed <= expected.count() * 0.1, f"missed {missed}"
+
+
+def test_simhash_near_for_near_dups_far_for_random(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text").limit(200)
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(20, length(text) - 8))").alias("text"),
+    )
+    sim = dedup.simhash16(d.unionByName(near)).cache()
+    a = sim.filter(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("k"), F.col("simhash").alias("sh_a")
+    )
+    b = sim.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("k"), F.col("simhash").alias("sh_b")
+    )
+    ham = a.join(b, "k").select(F.expr("bit_count(sh_a ^ sh_b)").alias("h"))
+    avg_near = ham.agg(F.avg("h")).collect()[0][0]
+    # random pairs: shift the join key
+    b2 = b.withColumn("k", (F.col("k") + 7) % 200)
+    ham2 = a.join(b2, "k").select(F.expr("bit_count(sh_a ^ sh_b)").alias("h"))
+    avg_rand = ham2.agg(F.avg("h")).collect()[0][0]
+    assert avg_near < avg_rand - 2, (avg_near, avg_rand)
+
+
+def test_bruteforce_topk_is_exact(spark, sf_dir):
+    e = _emb(spark, sf_dir).limit(200).cache()
+    got = ann.bruteforce_topk(e.filter(F.col("vec_id") == 0), e, k=5).collect()
+    assert len(got) == 5
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    # oracle: numpy
+    import numpy as np
+
+    rows = e.collect()
+    q = next(np.array(r["embedding"]) for r in rows if r["vec_id"] == 0)
+    sims = []
+    for r in rows:
+        if r["vec_id"] == 0:
+            continue
+        v = np.array(r["embedding"])
+        sims.append(
+            (round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6),
+             r["vec_id"])
+        )
+    top = sorted(sims, key=lambda t: (-t[0], t[1]))[:5]
+    got_ids = [r["cand_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert got_ids == [vid for _, vid in top]
+
+
+def test_anchor_lsh_recall_vs_bruteforce(spark, sf_dir):
+    e = _emb(spark, sf_dir).limit(500).cache()
+    anchors = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("anchor_rank"), "embedding"
+    )
+    qs = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    exact = ann.bruteforce_topk(qs, e, k=5)
+    approx = ann.anchor_lsh_topk(qs, e, anchors, k=5)
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    # 2 planes -> 4 buckets -> expect >=25% of exact top-5 recovered
+    assert hit >= exact.count() * 0.25, hit
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    qs = textstats.quality_score(_docs(spark, sf_dir))
+    bad = qs.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from entity_knowledge_in_bert_spark.operators import multimodal
+
+    assets = multimodal.synth_assets(_docs(spark, sf_dir).limit(50))
+    feats = multimodal.extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 50
+    by_kind = {r["kind"]: r["n_frames_sampled"] for r in rows}
+    assert by_kind.get("image", 1) == 1
+    assert all(0.0 <= r["feat_mean"] <= 1.0 for r in rows)
+    # meta path (pure JVM) agrees with the decode path on payload hash
+    meta = multimodal.asset_meta(assets).select("asset_id", "payload_sha")
+    j = feats.select("asset_id", F.col("payload_sha").alias("sha2")).join(
+        meta, "asset_id"
+    )
+    assert j.filter(F.col("sha2") != F.col("payload_sha")).count() == 0
