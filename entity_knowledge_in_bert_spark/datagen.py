@@ -243,7 +243,7 @@ def gen_pages_df(spark, n_pages: int, parts: int | None = None):
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    rng_df = spark.range(n_pages, numPartitions=parts or max(8, n_pages // 2000))
+    rng_df = spark.range(n_pages, numPartitions=parts or min(max(64, n_pages // 2000), 512))
     return rng_df.mapInPandas(gen, schema=_PAGES_SPARK_SCHEMA)
 
 
@@ -263,7 +263,7 @@ def gen_gold_df(spark, n_pages: int, parts: int | None = None):
                 rows, columns=["url", "begin", "end", "surface", "entity_gold"]
             )
 
-    rng_df = spark.range(n_pages, numPartitions=parts or max(8, n_pages // 2000))
+    rng_df = spark.range(n_pages, numPartitions=parts or min(max(64, n_pages // 2000), 512))
     return rng_df.mapInPandas(gen, schema=_GOLD_SPARK_SCHEMA)
 
 

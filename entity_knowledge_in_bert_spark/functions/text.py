@@ -59,12 +59,15 @@ def nfkc_normalize_udf():
     UDF (the only permissible Python path)."""
     import unicodedata
 
-    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    @pandas_udf(StringType())
-    def nfkc(s: pd.Series) -> pd.Series:
+    # explicit functionType: annotation-based inference can't resolve
+    # pd.Series under `from __future__ import annotations` with a
+    # function-local pandas import
+    @pandas_udf(StringType(), PandasUDFType.SCALAR)
+    def nfkc(s):
         return s.map(
             lambda x: unicodedata.normalize("NFKC", x) if x is not None else None
         )

@@ -41,12 +41,15 @@ def _large_star(sym: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(sym: DataFrame) -> DataFrame:
-    """contract smaller neighbors: for each u over N={v<=u}, m=min(N∪{u});
-    emit (v, m) for v in N ∪ {u}, v != m."""
-    small = sym.filter(F.col("v") <= F.col("u"))
-    mins = small.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs = small.join(mins, "u").select(
+def _small_star(canon: DataFrame) -> DataFrame:
+    """contract smaller neighbors: input edges already canonical (u > v);
+    for each u over N={v<u}, m=min(N); emit (v, m) for v in N ∪ {u}, v != m.
+
+    Both large-star and small-star emit canonical (bigger, smaller) edges,
+    so no symmetrize/distinct pass is needed between them (one shuffle
+    saved per iteration)."""
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = canon.join(mins, "u").select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     selfrows = mins.select("u", F.col("m").alias("v"))
@@ -73,19 +76,31 @@ def connected_components(
     ``on_iteration(i, df)`` lets the pipeline persist per-iteration
     checkpoints + lineage.
     """
-    cur = _symmetric(edges).distinct().localCheckpoint(eager=True)
+    # the edge frontier is orders of magnitude smaller than the corpus:
+    # right-size its partitioning so each LS/SS iteration schedules a
+    # handful of tasks instead of a full shuffle width
+    n_edges = edges.count()
+    parts = max(4, min(64, n_edges // 500_000 + 4))
+    # canonical form: (u=max, v=min), deduped once up front
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(parts)
+        .localCheckpoint(eager=True)
+    )
     prev_sig = None
     for i in range(max_iters):
-        ls = _large_star(cur)
-        sym = ls.unionByName(
-            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        ss = _small_star(sym)
-        cur = (
-            ss.unionByName(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )  # narrow op, no shuffle
+        ls = _large_star(sym)  # emits canonical (u>v) edges
+        ss = _small_star(ls)  # emits canonical (u>v) edges
+        # lazy checkpoint: the signature action below materializes it, so
+        # each iteration costs ONE job instead of two
+        cur = ss.localCheckpoint(eager=False)
         sig = _signature(cur)
         if on_iteration is not None:
             on_iteration(i, cur)
@@ -94,8 +109,7 @@ def connected_components(
         prev_sig = sig
     # at fixpoint every edge points node -> component min
     assign = (
-        cur.filter(F.col("u") > F.col("v"))
-        .groupBy("u")
+        cur.groupBy("u")
         .agg(F.min("v").alias("cluster_id"))
         .select(F.col("u").alias("mention_id"), "cluster_id")
     )

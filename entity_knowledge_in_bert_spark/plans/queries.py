@@ -1114,3 +1114,268 @@ def minhash_lsh_ml(spark, sf_dir):
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
     )
+
+
+# ==========================================================================
+# Remaining SURVEY §2 inventory: W3, F9, O1, A2, E2, E6, E7, F1
+# ==========================================================================
+@q(
+    "w3_token_chunking",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 8, 1), 24)) AS start
+  FROM toks)
+SELECT doc_id, start AS chunk_start,
+       len(list_slice(t, start + 1, start + 32)) AS chunk_len,
+       t[start + 1] AS first_tok,
+       list_slice(t, start + 1, start + 32)[-1] AS last_tok
+FROM starts
+""",
+)
+def w3_token_chunking(spark, sf_dir):
+    """W3 — fixed-length token windows with stride/overlap (the
+    reference's create_integerized_training_instances.py chunking [R]),
+    as pure array expressions: sequence + slice, no explode of tokens."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr("sequence(0, greatest(size(t) - 9, 0), 24)")
+        ).alias("chunk_start"),
+    )
+    chunk = F.expr("slice(t, chunk_start + 1, 32)")
+    return starts.select(
+        "doc_id",
+        "chunk_start",
+        F.size(chunk).alias("chunk_len"),
+        F.element_at("t", F.col("chunk_start") + 1).alias("first_tok"),
+        F.element_at(chunk, -1).alias("last_tok"),
+    )
+
+
+@q(
+    "f9_map_ops",
+    ALIAS_CTE
+    + """
+SELECT doc_id,
+  COALESCE(SUM(CASE WHEN token = 'spark' THEN 1 END), 0) AS spark_cnt,
+  COALESCE(SUM(CASE WHEN token = 'join' THEN 1 END), 0) AS join_cnt,
+  COUNT(DISTINCT CASE WHEN entity IS NOT NULL THEN token END) AS n_alias_types
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+LEFT JOIN alias_dict ON token = alias
+GROUP BY doc_id
+""",
+)
+def f9_map_ops(spark, sf_dir):
+    """F9 — map construction + lookup: per-doc token->count map via
+    map_from_entries, then element_at lookups (the reference's
+    {surface:{entity:count}} dicts as first-class map columns)."""
+    toks = _tokens(spark, sf_dir)
+    al = _alias_dict_df(spark)
+    counted = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    mapped = counted.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "cnt"))
+        ).alias("tok_map")
+    )
+    alias_toks = (
+        toks.join(F.broadcast(al), toks["token"] == al["alias"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("n_alias_types"))
+    )
+    return (
+        mapped.join(alias_toks, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.element_at("tok_map", F.lit("spark")), F.lit(0)).alias(
+                "spark_cnt"
+            ),
+            F.coalesce(F.element_at("tok_map", F.lit("join")), F.lit(0)).alias(
+                "join_cnt"
+            ),
+            F.coalesce(F.col("n_alias_types"), F.lit(0)).alias("n_alias_types"),
+        )
+    )
+
+
+@q(
+    "o1_global_sort",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, rnk FROM ("
+    "SELECT l_orderkey, l_linenumber, l_extendedprice, row_number() OVER ("
+    "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk "
+    "FROM lineitem) t WHERE rnk <= 50",
+)
+def o1_global_sort(spark, sf_dir):
+    """O1 — global total order (range partitioning + TakeOrdered)."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@q(
+    "a2_entity_frequency",
+    ALIAS_CTE
+    + """
+SELECT entity, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+JOIN alias_dict ON token = alias GROUP BY entity
+""",
+)
+def a2_entity_frequency(spark, sf_dir):
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    al = _alias_dict_df(spark)
+    return (
+        toks.join(F.broadcast(al), toks["token"] == al["alias"])
+        .groupBy("entity")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+# bigram alias dictionary for offset-level mention detection (E2)
+BIGRAM_ALIASES = [
+    ("table scan", "SCAN_OP"),
+    ("hash join", "JOIN_ALGO"),
+    ("sort merge", "JOIN_ALGO"),
+    ("group agg", "AGG_OP"),
+]
+_BIGRAM_VALUES = ", ".join(f"('{a}', '{e}')" for a, e in BIGRAM_ALIASES)
+
+
+@q(
+    "e2_mention_offsets",
+    f"WITH bigram_dict(alias, entity) AS (VALUES {_BIGRAM_VALUES}), "
+    """
+toks AS (
+  SELECT doc_id, tok, pos,
+         SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents) x),
+grams AS (
+  SELECT doc_id, COALESCE(off, 0) AS begin_off,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         AS surface
+  FROM toks)
+SELECT doc_id, CAST(begin_off AS INT) AS begin,
+       CAST(begin_off + length(surface) AS INT) AS "end", surface, entity
+FROM grams JOIN bigram_dict ON surface = alias
+""",
+)
+def e2_mention_offsets(spark, sf_dir):
+    """E2 — dictionary mention detection WITH char offsets over the
+    documents table (the oracle-checked twin of the ER pipeline's
+    detect_mentions; same window-cumsum + lead + broadcast-join plan)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    woff = w.rowsBetween(Window.unboundedPreceding, -1)
+    grams = (
+        d.withColumn(
+            "begin", F.coalesce(F.sum(F.length("tok") + 1).over(woff), F.lit(0))
+        )
+        .withColumn("surface", F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)))
+    )
+    bg = spark.createDataFrame(BIGRAM_ALIASES, "alias string, entity string")
+    return grams.join(F.broadcast(bg), grams["surface"] == bg["alias"]).select(
+        "doc_id",
+        F.col("begin").cast("int").alias("begin"),
+        (F.col("begin") + F.length("surface")).cast("int").alias("end"),
+        "surface",
+        "entity",
+    )
+
+
+@q(
+    "e6_grouped_adjacent_pairs",
+    "SELECT brand, partkey_a, partkey_b FROM ("
+    "SELECT p_brand AS brand, p_partkey AS partkey_a, "
+    "lead(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_partkey) "
+    "AS partkey_b FROM part) t WHERE partkey_b IS NOT NULL",
+)
+def e6_grouped_adjacent_pairs(spark, sf_dir):
+    """E6 — applyInPandas grouped-map kernel (per-block custom pair
+    logic); deterministic output = adjacent sorted partkeys per brand, so
+    the Python kernel is value-checked against a pure-SQL oracle."""
+    import pandas as pd
+
+    def adjacent(df: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(df["p_partkey"].tolist())
+        return pd.DataFrame(
+            {
+                "brand": df["p_brand"].iloc[0],
+                "partkey_a": ks[:-1],
+                "partkey_b": ks[1:],
+            }
+        )
+
+    p = T(spark, sf_dir, "part").select("p_brand", "p_partkey")
+    return p.groupBy("p_brand").applyInPandas(
+        adjacent, schema="brand string, partkey_a long, partkey_b long"
+    )
+
+
+@q(
+    "e7_label_centroids",
+    """
+SELECT label, dim, floor(avg(val) * 1000000 + 0.5) / 1000000 AS centroid_val
+FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings) t
+GROUP BY label, dim
+""",
+)
+def e7_label_centroids(spark, sf_dir):
+    """E7 — grouped-agg pandas UDF: per-label centroid of embeddings
+    (numpy mean over Arrow batches), exploded to flat (label, dim, val)
+    rows for the oracle."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()), PandasUDFType.GROUPED_AGG)
+    def centroid(vecs):
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
+        # sum/count (not np.mean) -> same sequential accumulation order as
+        # the SQL oracle's avg()
+        return (m.sum(axis=0) / len(m)).tolist()
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = e.groupBy("label").agg(centroid(F.col("embedding")).alias("c"))
+    return cents.select(
+        "label", F.posexplode("c").alias("dim0", "val")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.floor(F.col("val") * 1000000.0 + 0.5) / 1000000.0).alias("centroid_val"),
+    )
+
+
+@q(
+    "f1_unicode_normalize",
+    "SELECT doc_id, nfc_normalize(substr(text, 1, 50)) AS norm50 FROM documents",
+)
+def f1_unicode_normalize(spark, sf_dir):
+    """F1 — unicode normalization via vectorized pandas UDF (no Spark
+    builtin); ASCII corpus -> NFC == NFKC == identity, which the DuckDB
+    nfc_normalize oracle value-checks."""
+    from ..functions.text import nfkc_normalize_udf
+
+    nfkc = nfkc_normalize_udf()
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", nfkc(F.substring("text", 1, 50)).alias("norm50")
+    )

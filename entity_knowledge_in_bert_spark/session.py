@@ -34,6 +34,13 @@ def get_spark(app: str = "er-engine", master: str | None = None) -> SparkSession
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = SparkSession.builder.appName(app).master(master)
+    # JVM-startup-only confs (ignored on an already-running session):
+    # local-mode driver == all executors, so size the heap for 32
+    # concurrent tasks (default 1g OOMs under shuffle+checkpoint load).
+    b = b.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
+    b = b.config("spark.driver.maxResultSize", "4g")
     for k, v in ENGINE_CONFS.items():
         b = b.config(k, v)
     return b.getOrCreate()

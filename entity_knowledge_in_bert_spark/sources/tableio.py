@@ -90,8 +90,22 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
-        back = self.spark.read.parquet(path)
-        rows = back.count()
+        # ZERO extra Spark jobs: every task of the write job produced one
+        # parquet file, so per-partition row counts come straight from the
+        # file footers (pyarrow metadata read, driver-side, milliseconds).
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        part_counts = [
+            {"partition_id": i, "rows_out": pq.ParquetFile(f).metadata.num_rows}
+            for i, f in enumerate(files)
+        ]
+        rows = int(sum(r["rows_out"] for r in part_counts))
         entry = {
             "snapshot_id": snap_id,
             "rows": rows,
@@ -105,21 +119,30 @@ class TableIO:
 
         if stage is not None:
             run = run_id or uuid.uuid4().hex[:12]
-            lineage = (
-                back.withColumn("partition_id", F.spark_partition_id())
-                .groupBy("partition_id")
-                .agg(F.count("*").alias("rows_out"))
-                .withColumn("stage", F.lit(stage))
-                .withColumn("run_id", F.lit(run))
-                .withColumn("input_snapshot", F.lit(",".join(inputs or [])))
-                .withColumn("wrote_ts", F.current_timestamp())
-                .select(
-                    "stage", "run_id", "partition_id", "rows_out",
-                    "input_snapshot", "wrote_ts",
-                )
+            # lineage is driver-tiny: write it with pyarrow directly (no
+            # Spark job); Spark reads it back fine via read.parquet
+            import pyarrow as pa
+
+            now = int(time.time() * 1_000_000)
+            n = max(len(part_counts), 1)
+            table = pa.table(
+                {
+                    "stage": [stage] * n,
+                    "run_id": [run] * n,
+                    "partition_id": pa.array(
+                        [r["partition_id"] for r in part_counts] or [-1],
+                        pa.int32(),
+                    ),
+                    "rows_out": pa.array(
+                        [r["rows_out"] for r in part_counts] or [0], pa.int64()
+                    ),
+                    "input_snapshot": [",".join(inputs or [])] * n,
+                    "wrote_ts": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+                }
             )
             lpath = os.path.join(self.warehouse, "_lineage", f"{stage}-{snap_id}")
-            lineage.write.mode("overwrite").parquet(lpath)
+            os.makedirs(lpath, exist_ok=True)
+            pq.write_table(table, os.path.join(lpath, "lineage.parquet"))
         return SnapshotInfo(snap_id, table, rows, entry["created_ms"], entry["inputs"])
 
     def latest_snapshot(self, table: str) -> str | None:
