@@ -48,7 +48,7 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")

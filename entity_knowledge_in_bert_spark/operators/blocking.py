@@ -42,6 +42,14 @@ DEFAULT_MAX_BLOCK = 64
 BLOCKING_KEY_VERSION = "v0"  # frozen with the eval (t4) — never drift silently
 
 
+def _seeded_hash(prefix: str):
+    """ONE-parameter lambda factory. A two-parameter lambda (e.g.
+    ``lambda s, i=i``) would be interpreted by F.transform as an
+    (element, index) lambda and the seed would silently become the index
+    Column — non-deterministic across plan compilations."""
+    return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+
 def minhash_cols(surface_expr: str, k: int = MINHASH_K) -> list:
     """k deterministic minhashes of the surface's char-3-gram set.
 
@@ -53,9 +61,7 @@ def minhash_cols(surface_expr: str, k: int = MINHASH_K) -> list:
     for i in range(k):
         cols.append(
             F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))
-                )
+                F.transform(shingles, _seeded_hash(f"{i}:"))
             ).alias(f"_mh{i}")
         )
     return cols
@@ -126,15 +132,20 @@ def block_keys(
 
     Returns (mention_id, block_key), distinct.
     """
+    from pyspark.sql import Window
+
     keys = entity_salted_keys(candidates, max_block)
     if use_lsh:
         keys = keys.unionByName(lsh_band_keys(mentions))
-    keys = keys.distinct()
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bsize"))
-    kept = keys.join(
-        sizes.filter(F.col("_bsize") <= F.lit(max_block * 2)).select("block_key"),
-        "block_key",
-        "inner",
+    # dedup + size cap in one shuffle: window count over the same
+    # partitioning the distinct uses (a groupBy+join here costs a second
+    # shuffle of the full key set)
+    w = Window.partitionBy("block_key")
+    kept = (
+        keys.distinct()
+        .withColumn("_bsize", F.count("*").over(w))
+        .filter(F.col("_bsize") <= F.lit(max_block * 2))
+        .drop("_bsize")
     )
     return kept
 

@@ -101,12 +101,17 @@ def connected_components(
         # lazy checkpoint: the signature action below materializes it, so
         # each iteration costs ONE job instead of two
         cur = ss.localCheckpoint(eager=False)
-        sig = _signature(cur)
         if on_iteration is not None:
             on_iteration(i, cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        # convergence check every 2nd iteration: each check is a driver
+        # action, and skipped iterations materialize lazily inside the
+        # next check's job (the hub+window topology converges in ~3
+        # rounds, so per-round checks mostly measure scheduling overhead)
+        if i % 2 == 1:
+            sig = _signature(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     # at fixpoint every edge points node -> component min
     assign = (
         cur.groupBy("u")
