@@ -1379,3 +1379,86 @@ def f1_unicode_normalize(spark, sf_dir):
     return T(spark, sf_dir, "documents").select(
         "doc_id", nfkc(F.substring("text", 1, 50)).alias("norm50")
     )
+
+
+# ==========================================================================
+# Gap-fill: rollup (A6), redirect-resolution coalesce (J1), E1/E3 surfaces
+# ==========================================================================
+@q(
+    "a6_rollup_profile",
+    "SELECT lang, source, COUNT(*) AS n FROM documents "
+    "GROUP BY ROLLUP(lang, source)",
+)
+def a6_rollup_profile(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# the reference's redirect table: anchor target -> canonical title
+# (postprocess_mention_entity_counts.py [R]); re-expressed as broadcast
+# left join + coalesce over a VALUES dict of event_type renames
+REDIRECTS = [("click", "tap"), ("view", "impression")]
+_REDIR_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in REDIRECTS)
+
+
+@q(
+    "j1_redirect_coalesce",
+    f"WITH redirects(old_name, canonical) AS (VALUES {_REDIR_VALUES}) "
+    "SELECT event_type, COALESCE(canonical, event_type) AS resolved, "
+    "COUNT(*) AS n FROM events LEFT JOIN redirects ON event_type = old_name "
+    "GROUP BY event_type, COALESCE(canonical, event_type)",
+)
+def j1_redirect_coalesce(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    red = spark.createDataFrame(REDIRECTS, "old_name string, canonical string")
+    return (
+        ev.join(F.broadcast(red), ev["event_type"] == red["old_name"], "left")
+        .withColumn("resolved", F.coalesce("canonical", "event_type"))
+        .groupBy("event_type", "resolved")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("er_extract_hashes", None)  # E1 over synthetic pages -> rows-only
+def er_extract_hashes(spark, sf_dir):
+    from .. import datagen
+    from ..operators.extract import with_extracted_text
+
+    pages = datagen.gen_pages_df(spark, _er_scale(sf_dir))
+    return with_extracted_text(pages).select(
+        "url",
+        "warc_ts",
+        F.sha2(F.col("text_extracted"), 256).alias("sha256_text"),
+        (F.col("text_extracted") == F.col("text")).alias("byte_identical"),
+    )
+
+
+@q("er_encoder_vecs", None)  # E3 frozen encoder -> rows-only
+def er_encoder_vecs(spark, sf_dir):
+    from ..operators.encoder import DIM, make_encoder_udf
+
+    d = T(spark, sf_dir, "documents").limit(200)
+    embed = make_encoder_udf({"the": 0.0, "data": 2.0})
+    out = d.select(
+        "doc_id",
+        embed(
+            F.substring("text", 1, 80), F.substring("text", 81, 80)
+        ).alias("vec"),
+    )
+    return out.select(
+        "doc_id",
+        F.size("vec").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "vec",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            3,
+        ).alias("l2_norm"),
+    )
