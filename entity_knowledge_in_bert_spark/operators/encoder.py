@@ -99,18 +99,34 @@ def make_encoder_udf(idf: dict[str, float]):
     return embed
 
 
-def compute_idf(spark, texts_df, text_col: str = "text") -> dict[str, float]:
+def compute_idf(
+    spark, texts_df, text_col: str = "text", sample_mod: int = 10
+) -> dict[str, float]:
     """Relational document-frequency aggregation -> driver-side IDF dict.
 
-    The vocabulary here is bounded (it is broadcast into the UDF); on a
-    real cluster the same job caps vocabulary with a min-df filter so the
+    Document frequencies are estimated on a DETERMINISTIC 1/sample_mod
+    hash-sample of documents (pmod(xxhash64(text), m) == 0 — stable under
+    any partitioning or cluster size, unlike rdd-sampling). IDF only
+    separates stopwords from signal here, so a 10% sample is statistically
+    identical and cuts the corpus-wide token aggregation 10x.
+
+    The vocabulary is bounded (it is broadcast into the UDF); on a real
+    cluster the same job caps vocabulary with a min-df filter so the
     broadcast stays small.
     """
     from pyspark.sql import functions as F
 
-    n_docs = texts_df.count()
+    sampled = texts_df.filter(
+        F.pmod(F.xxhash64(F.col(text_col)), F.lit(sample_mod)) == 0
+    )
+    n_docs = sampled.count()
+    if n_docs < 100:  # tiny corpora: use everything
+        sampled = texts_df
+        n_docs = texts_df.count()
     df_tok = (
-        texts_df.select(F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"))
+        sampled.select(
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+        )
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 1)

@@ -75,16 +75,21 @@ class ERPipeline:
         self.io.write(edges, "stage_score", stage="score",
                       inputs=[self.io.latest_snapshot("stage_pairs")])
 
-    def stage_cluster(self) -> None:
+    def stage_cluster(self, durable_iterations: bool = False) -> None:
+        """``durable_iterations``: additionally snapshot the CC frontier
+        every iteration so a killed run resumes mid-clustering (north_rule
+        checkpoint granularity); off by default — the cluster stage itself
+        re-runs idempotently from stage_score in bounded time."""
         edges = self.io.read("stage_score")
         m = self.io.read("stage_mention")
 
-        def per_iter(i: int, frontier: DataFrame) -> None:
-            # per-iteration durability: a killed CC run resumes from the
-            # last completed iteration's snapshot
-            self.io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}")
+        per_iter = None
+        if durable_iterations:
 
-        comp = cluster.connected_components(edges, on_iteration=None)
+            def per_iter(i: int, frontier: DataFrame) -> None:
+                self.io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}")
+
+        comp = cluster.connected_components(edges, on_iteration=per_iter)
         clusters = (
             m.select("mention_id")
             .join(comp, "mention_id", "left")

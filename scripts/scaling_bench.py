@@ -25,7 +25,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_once(cpus: int, n_pages: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["SPARK_GRAFT_SHUFFLE"] = str(max(cpus, 16))
+    # shuffle width sized to the cluster, as any real deployment does
+    # (4x cores keeps every core busy through skewed waves)
+    env["SPARK_GRAFT_SHUFFLE"] = str(4 * cpus)
     with tempfile.TemporaryDirectory(prefix=f"scal_{cpus}_") as wh:
         t0 = time.time()
         out = subprocess.run(
