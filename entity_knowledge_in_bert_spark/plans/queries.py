@@ -1462,3 +1462,41 @@ def er_encoder_vecs(spark, sf_dir):
             3,
         ).alias("l2_norm"),
     )
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """Full oracle for simhash near-pairs over the dup-injected corpus."""
+    sums = []
+    for b in range(16):
+        pos, sh = b // 4 + 1, b % 4
+        sums.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+            f" >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return (
+        f"WITH {_CORPUS_CTE}, "
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM corpus), "
+        "hs AS (SELECT doc_id, sha256(tok) AS h FROM toks), "
+        f"sums AS (SELECT doc_id, {', '.join(sums)} FROM hs GROUP BY doc_id), "
+        f"sims AS (SELECT doc_id, CAST({bits} AS INT) AS simhash FROM sums) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+        "FROM sims a JOIN sims b "
+        "ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+@q("dedup_simhash_near_pairs", _simhash_pairs_oracle_sql())
+def dedup_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: corpus ∪ lightly-mutated copies, blocked on
+    the simhash high byte, hamming <= 3."""
+    from ..operators.dedup import simhash16, simhash_near_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sim = simhash16(corpus)
+    return simhash_near_pairs(sim, max_hamming=3)
