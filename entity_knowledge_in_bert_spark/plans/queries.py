@@ -396,8 +396,8 @@ SELECT user_id, run_id, COUNT(*) AS run_len, MIN(event_id) AS first_event,
        MIN(event_type) AS run_type
 FROM (
   SELECT user_id, event_id, event_type,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS run_id
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
   FROM (
     SELECT *, CASE WHEN lag(event_type) OVER
            (PARTITION BY user_id ORDER BY ts, event_id)
@@ -596,8 +596,8 @@ def f8_cosine_pairs(spark, sf_dir):
 
 @q(
     "f10_json_extract",
-    "SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
-    "AS k_sum FROM events GROUP BY event_type",
+    "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS "
+    "BIGINT)) AS BIGINT) AS k_sum FROM events GROUP BY event_type",
 )
 def f10_json_extract(spark, sf_dir):
     return (
@@ -1162,8 +1162,10 @@ def w3_token_chunking(spark, sf_dir):
     ALIAS_CTE
     + """
 SELECT doc_id,
-  COALESCE(SUM(CASE WHEN token = 'spark' THEN 1 END), 0) AS spark_cnt,
-  COALESCE(SUM(CASE WHEN token = 'join' THEN 1 END), 0) AS join_cnt,
+  CAST(COALESCE(SUM(CASE WHEN token = 'spark' THEN 1 END), 0) AS BIGINT)
+    AS spark_cnt,
+  CAST(COALESCE(SUM(CASE WHEN token = 'join' THEN 1 END), 0) AS BIGINT)
+    AS join_cnt,
   COUNT(DISTINCT CASE WHEN entity IS NOT NULL THEN token END) AS n_alias_types
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
 LEFT JOIN alias_dict ON token = alias

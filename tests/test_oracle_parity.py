@@ -50,6 +50,44 @@ def duck_con():
 
 NAMES = sorted(entrymod.oracle_sql().keys())
 
+# Spark simple dtype -> acceptable DuckDB column types. The driver's value
+# hash tolerates int-width differences that still fit int64 (both engines
+# fetch them as integer dtypes — r01 evidence: ann_bruteforce_topk passed
+# with oracle BIGINT vs Spark int), but a DuckDB HUGEINT (e.g. SUM over an
+# integer column) overflows int64 and fetches as float64/object, which the
+# driver hashes differently even when every value is equal — and repr-level
+# comparison can't see it because Python fetches both as plain `int`.
+# Compare declared column types by family instead. Types not listed
+# (timestamp, arrays, ...) are left to the value comparison — their
+# cross-engine pairings are already driver-validated.
+_INT64_FIT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER",
+}
+_TYPE_COMPAT = {
+    "bigint": _INT64_FIT,
+    "int": _INT64_FIT,
+    "smallint": _INT64_FIT,
+    "tinyint": _INT64_FIT,
+    "double": {"DOUBLE", "FLOAT", "REAL"},
+    "float": {"DOUBLE", "FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+}
+
+
+def _assert_type_compat(name, sdf, rel):
+    spark_types = dict(sdf.dtypes)
+    for col, dtyp in zip(rel.columns, rel.types):
+        allowed = _TYPE_COMPAT.get(spark_types.get(col, ""))
+        if allowed is not None:
+            assert str(dtyp) in allowed, (
+                f"{name}.{col}: oracle type {dtyp} vs Spark "
+                f"{spark_types[col]} — the driver hash is type-sensitive "
+                f"(CAST the oracle expression)"
+            )
+
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, duck_con, name):
@@ -65,6 +103,7 @@ def test_query_matches_oracle(spark, duck_con, name):
     d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    _assert_type_compat(name, sdf, rel)
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     sm = _row_multiset(s_cols, [[r[c] for c in s_cols] for r in s_rows])
     dm = _row_multiset(d_cols, d_rows)
