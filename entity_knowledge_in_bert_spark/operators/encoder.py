@@ -84,15 +84,21 @@ def encode_ctx(left: pd.Series, right: pd.Series, idf: dict[str, float]) -> pd.S
     return pd.Series(vecs)
 
 
-def make_encoder_udf(idf: dict[str, float]):
+def make_encoder_udf(idf):
     """Iterator pandas UDF: loads the 'model' (here: the IDF table) once
     per Python worker, then streams Arrow batches — the same shape the
-    ONNX path uses (one session per executor, SURVEY.md §4 X7)."""
+    ONNX path uses (one session per executor, SURVEY.md §4 X7).
+
+    ``idf`` is either a plain dict (tests, tiny corpora) or a
+    ``pyspark.Broadcast`` of one — the pipeline broadcasts so the table
+    ships once per executor instead of being pickled into every task's
+    UDF closure.
+    """
 
     @pandas_udf(ArrayType(FloatType()))
     def embed(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         # per-worker init happens here (ONNX: ort.InferenceSession(...))
-        table = idf
+        table = idf.value if hasattr(idf, "value") else idf
         for left, right in it:
             yield encode_ctx(left, right, table)
 
@@ -100,9 +106,14 @@ def make_encoder_udf(idf: dict[str, float]):
 
 
 def compute_idf(
-    spark, texts_df, text_col: str = "text", sample_mod: int = 10
+    spark,
+    texts_df,
+    text_col: str = "text",
+    sample_mod: int = 10,
+    min_df: int = 2,
+    max_vocab: int = 262_144,
 ) -> dict[str, float]:
-    """Relational document-frequency aggregation -> driver-side IDF dict.
+    """Relational document-frequency aggregation -> bounded IDF dict.
 
     Document frequencies are estimated on a DETERMINISTIC 1/sample_mod
     hash-sample of documents (pmod(xxhash64(text), m) == 0 — stable under
@@ -110,9 +121,19 @@ def compute_idf(
     separates stopwords from signal here, so a 10% sample is statistically
     identical and cuts the corpus-wide token aggregation 10x.
 
-    The vocabulary is bounded (it is broadcast into the UDF); on a real
-    cluster the same job caps vocabulary with a min-df filter so the
-    broadcast stays small.
+    The returned vocabulary is BOUNDED independent of corpus size — it is
+    broadcast into the encoder UDF, so an unbounded collect here is a
+    driver OOM on a web-scale corpus (the distinct-token table is billions
+    of rows at 100 TB):
+
+    - signal tokens need ``df >= min_df`` (hapaxes fall back to the
+      encoder's default weight 1.0 — on the sampled path most of them
+      never reached the dict anyway) and only the top ``max_vocab`` by
+      document frequency are kept (TakeOrderedAndProject — the executors
+      do the truncation, the driver only ever sees max_vocab rows);
+    - stopwords (df above the STOPWORD_DF_FRACTION share) are always kept
+      with weight 0.0; that set is structurally tiny (at most
+      avg_distinct_tokens_per_doc / fraction entries).
     """
     from pyspark.sql import functions as F
 
@@ -120,22 +141,25 @@ def compute_idf(
         F.pmod(F.xxhash64(F.col(text_col)), F.lit(sample_mod)) == 0
     )
     n_docs = sampled.count()
-    if n_docs < 100:  # tiny corpora: use everything
+    if n_docs < 100:  # tiny corpora: use everything, keep hapax IDF signal
         sampled = texts_df
         n_docs = texts_df.count()
+        min_df = 1
     df_tok = (
         sampled.select(
             F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
         )
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= 1)
     )
-    rows = df_tok.collect()
-    out = {}
-    for r in rows:
-        if r["df"] > STOPWORD_DF_FRACTION * n_docs:
-            out[r["tok"]] = 0.0  # stopword: dropped by the encoder
-        else:
-            out[r["tok"]] = float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+    stop_floor = STOPWORD_DF_FRACTION * n_docs
+    signal = (
+        df_tok.filter((F.col("df") >= min_df) & (F.col("df") <= stop_floor))
+        .orderBy(F.desc("df"), F.asc("tok"))  # deterministic truncation
+        .limit(max_vocab)
+    )
+    stop = df_tok.filter(F.col("df") > stop_floor)
+    out = {r["tok"]: 0.0 for r in stop.collect()}  # stopword: dropped
+    for r in signal.collect():
+        out[r["tok"]] = float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
     return out

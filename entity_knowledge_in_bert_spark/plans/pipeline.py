@@ -46,7 +46,8 @@ class ERPipeline:
         aliases = datagen.alias_df(self.spark)
         m = mentions.detect_mentions(pages, aliases)
         idf = encoder.compute_idf(self.spark, pages, "text")
-        embed = encoder.make_encoder_udf(idf)
+        idf_bc = self.spark.sparkContext.broadcast(idf)
+        embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
         self.io.write(m, "stage_mention", stage="mention",
                       inputs=[self.io.latest_snapshot("stage_extract")])

