@@ -164,19 +164,91 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sums.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+N_SIMHASH_BANDS = 4  # 4 x 16-bit bands = 64-bit simhash
+
+
+def simhash64_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band0..band3): 64-bit SimHash stored as four 16-bit bands.
+
+    Band k packs simhash bits 16k..16k+15, computed from hex chars
+    4k+1..4k+4 of sha256(tok) with the same nibble arithmetic as
+    simhash16 (band0 equals simhash16's value by construction). Keeping
+    the hash banded (a) sidesteps 64-bit sign-bit overflow in
+    cross-engine SQL and (b) makes the pigeonhole LSH join natural: any
+    pair differing in <= N_SIMHASH_BANDS - 1 bits shares >= 1 band.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.sha2(F.col("tok"), 256))
+    aggs = []
+    for b in range(64):
+        nib = F.expr(f"instr('{_HEX}', substring(h, {b // 4 + 1}, 1)) - 1")
+        bit = (F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))) * 2 - 1
+        aggs.append(F.sum(bit).alias(f"s{b}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    cols = [F.col("doc_id")]
+    for k in range(N_SIMHASH_BANDS):
+        band = F.lit(0)
+        for b in range(16):
+            band = band + F.when(
+                F.col(f"s{16 * k + b}") > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        cols.append(band.cast("int").alias(f"band{k}"))
+    return sums.select(*cols)
+
+
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the high
-    byte (at scale: multi-probe over rotated bands instead of a full
-    cross-join)."""
-    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    """Near-dup pairs by 64-bit SimHash hamming distance via banded
+    multi-probe LSH over the output of :func:`simhash64_bands`.
+
+    Each doc emits 4 (band_id, band_value) keys; candidates are the
+    bucket self-join on that composite key — never an all-pairs product.
+    Pigeonhole guarantee: a pair with hamming <= 3 differs in at most 3
+    of the 4 bands, so at least one band matches exactly -> recall 1.0
+    for max_hamming <= 3 (asserted vs brute force in test_dedup_ann).
+    At corpus scale each 16-bit band value spreads docs over 65k buckets
+    per band; AQE skew-join covers pathological bucket skew.
+    """
+    if max_hamming > N_SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"banded probe guarantees recall only for max_hamming <= "
+            f"{N_SIMHASH_BANDS - 1}, got {max_hamming}"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"), F.col(f"band{k}").alias("val")
+            )
+            for k in range(N_SIMHASH_BANDS)
+        ]
+    )
+    band_cols = [f"band{k}" for k in range(N_SIMHASH_BANDS)]
+    keyed = sim.select("doc_id", *band_cols, F.explode(bands).alias("bk")).select(
+        "doc_id", *band_cols, F.col("bk.band_id"), F.col("bk.val")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(N_SIMHASH_BANDS)],
+        "band_id",
+        "val",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(N_SIMHASH_BANDS)],
+        "band_id",
+        "val",
+    )
+    ham = sum(
+        (F.expr(f"bit_count(a{k} ^ b{k})") for k in range(N_SIMHASH_BANDS)),
+        F.lit(0),
+    ).cast("int")
     return (
-        a.join(b, F.shiftright(a["sh_a"], 8) == F.shiftright(b["sh_b"], 8))
+        a.join(b, ["band_id", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

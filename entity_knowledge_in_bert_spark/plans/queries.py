@@ -1467,38 +1467,48 @@ def er_encoder_vecs(spark, sf_dir):
 
 
 def _simhash_pairs_oracle_sql() -> str:
-    """Full oracle for simhash near-pairs over the dup-injected corpus."""
+    """Full oracle for 64-bit banded simhash near-pairs over the
+    dup-injected corpus. Mirrors operators.dedup.simhash64_bands +
+    simhash_near_pairs: 4 x 16-bit bands, pair iff >= 1 band equal
+    (pigeonhole-complete for hamming <= 3), exact hamming over 64 bits."""
     sums = []
-    for b in range(16):
+    for b in range(64):
         pos, sh = b // 4 + 1, b % 4
         sums.append(
             f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
             f" >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         )
-    bits = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
-    )
+    band_exprs = []
+    for k in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN s{16 * k + b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        band_exprs.append(f"CAST({bits} AS INT) AS band{k}")
+    ham = " + ".join(f"bit_count(xor(a.band{k}, b.band{k}))" for k in range(4))
+    any_band = " OR ".join(f"a.band{k} = b.band{k}" for k in range(4))
     return (
         f"WITH {_CORPUS_CTE}, "
         "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
         "FROM corpus), "
         "hs AS (SELECT doc_id, sha256(tok) AS h FROM toks), "
         f"sums AS (SELECT doc_id, {', '.join(sums)} FROM hs GROUP BY doc_id), "
-        f"sims AS (SELECT doc_id, CAST({bits} AS INT) AS simhash FROM sums) "
+        f"sims AS (SELECT doc_id, {', '.join(band_exprs)} FROM sums) "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+        f"CAST({ham} AS INT) AS hamming "
         "FROM sims a JOIN sims b "
-        "ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id "
-        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        f"ON a.doc_id < b.doc_id AND ({any_band}) "
+        f"WHERE {ham} <= 3"
     )
 
 
 @q("dedup_simhash_near_pairs", _simhash_pairs_oracle_sql())
 def dedup_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: corpus ∪ lightly-mutated copies, blocked on
-    the simhash high byte, hamming <= 3."""
-    from ..operators.dedup import simhash16, simhash_near_pairs
+    """SimHash near-dup pairs: corpus ∪ lightly-mutated copies, 64-bit
+    simhash, banded 4x16-bit multi-probe LSH (recall 1.0 for hamming<=3
+    by pigeonhole), exact hamming filter."""
+    from ..operators.dedup import simhash64_bands, simhash_near_pairs
 
     corpus = _dup_corpus(spark, sf_dir)
-    sim = simhash16(corpus)
+    sim = simhash64_bands(corpus)
     return simhash_near_pairs(sim, max_hamming=3)

@@ -65,6 +65,54 @@ def test_simhash_near_for_near_dups_far_for_random(spark, sf_dir):
     assert avg_near < avg_rand - 2, (avg_near, avg_rand)
 
 
+def test_banded_simhash_recall_is_one_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole gate: the 4x16-bit banded probe must return EXACTLY the
+    brute-force hamming<=3 pair set over the 64-bit simhash — no recall
+    hole (VERDICT r1: the old high-byte block missed pairs whose
+    differing bits fell in the blocked byte)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text").limit(150)
+    near = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(20, length(text) - 6))").alias("text"),
+    )
+    sim = dedup.simhash64_bands(d.unionByName(near)).cache()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(sim, max_hamming=3).collect()
+    }
+    a = sim.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = sim.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(4)],
+    )
+    ham = sum(
+        (F.expr(f"bit_count(a{k} ^ b{k})") for k in range(4)), F.lit(0)
+    ).cast("int")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    }
+    assert len(brute) > 0  # fixture must exercise the operator
+    assert got == brute
+
+
+def test_simhash64_band0_equals_simhash16(spark, sf_dir):
+    """simhash64_bands is a widening of simhash16: band0 packs the same
+    low 16 bits."""
+    d = _docs(spark, sf_dir).select("doc_id", "text").limit(50)
+    s16 = dedup.simhash16(d).select("doc_id", F.col("simhash").alias("v16"))
+    s64 = dedup.simhash64_bands(d).select("doc_id", F.col("band0").alias("v64"))
+    assert s16.join(s64, "doc_id").filter(F.col("v16") != F.col("v64")).count() == 0
+
+
 def test_bruteforce_topk_is_exact(spark, sf_dir):
     e = _emb(spark, sf_dir).limit(200).cache()
     got = ann.bruteforce_topk(e.filter(F.col("vec_id") == 0), e, k=5).collect()
