@@ -10,9 +10,9 @@
   exact rerank within bucket. At 10^12 vectors the bucket join replaces
   the full cross product; recall is tunable via P (fewer planes = bigger
   buckets).
-* ``ivf_topk`` — IVF-style: coarse centroids = hash-sampled corpus
-  vectors; each vector assigned to nearest centroid (one broadcast
-  join); queries probe their nearest ``n_probe`` centroids only.
+* ``ivf_topk`` — IVF-style: coarse centroids = Knuth-hash-sampled corpus
+  vectors baked into a literal-array argmax projection (assignment has
+  NO shuffle); queries probe their nearest ``n_probe`` centroids only.
 """
 
 from __future__ import annotations
@@ -101,6 +101,65 @@ def anchor_lsh_topk(
     )
 
 
+# Knuth multiplicative hash — deterministic, SQL-expressible in any engine
+# (unlike xxhash64), so the oracle can reproduce the centroid choice.
+_KNUTH = 2654435761
+_KNUTH_MOD = 1 << 32
+
+
+def _cent_score_array(emb_col: str, cents: list) -> object:
+    """array<struct<cos:double, neg_id:bigint>> of rounded cosines of
+    ``emb_col`` vs each literal centroid — a pure projection (whole-stage
+    codegen, no join, no shuffle). neg_id = -centroid_id so that struct
+    ordering (cos desc, neg_id desc) tie-breaks to the LOWEST centroid id,
+    matching ``ORDER BY cos DESC, centroid_id ASC``."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(emb_col),
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    entries = []
+    for cid, vec in cents:
+        lit_arr = F.array(*[F.lit(float(x)) for x in vec])
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), lit_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cnorm = F.sqrt(
+            F.aggregate(lit_arr, F.lit(0.0), lambda a, v: a + v * v)
+        )
+        cos = F.when((norm == 0) | (cnorm == 0), F.lit(0.0)).otherwise(
+            dot / (norm * cnorm)
+        )
+        entries.append(
+            F.struct(
+                F.round(cos, 6).alias("cos"),
+                F.lit(-cid).cast("bigint").alias("neg_id"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16) -> list:
+    """Driver-side centroid list [(centroid_id, [floats])] — the
+    n_centroids corpus vectors with the lowest Knuth hash of vec_id.
+    Bounded collect (n_centroids rows via TakeOrderedAndProject)."""
+    rows = (
+        corpus.select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.col("vec_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD)).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -108,46 +167,37 @@ def ivf_topk(
     n_probe: int = 4,
     k: int = 10,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic corpus sample (lowest
-    xxhash64 of vec_id); assignment + probing are broadcast joins."""
-    cents = (
-        corpus.withColumn("_h", F.xxhash64("vec_id"))
-        .orderBy("_h")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
+    """IVF-style ANN with SHUFFLE-FREE coarse quantization.
+
+    Centroids are a deterministic Knuth-hash sample of the corpus,
+    collected once (bounded) and baked into the assignment expression as
+    literals: assignment is argmax over a literal centroid array via
+    array_max — a projection with NO Exchange (the r1 version crossJoined
+    corpus x centroids and ranked with a window partitioned by vec_id,
+    i.e. a full shuffle of an n_centroids-x-expanded corpus). Query
+    probing is slice(sort_array(...) desc, n_probe) on the same array.
+    The only shuffles left are the probe-candidate join on centroid_id
+    and the final per-query top-k window.
+    """
+    cents = ivf_centroids(corpus, n_centroids)
+    assigned = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        (-F.array_max(_cent_score_array("embedding", cents))["neg_id"]).alias(
+            "centroid_id"
+        ),
     )
-    # assign corpus vectors to their nearest centroid
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("centroid_id")
-    )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", F.round(cosine_sql("embedding", "cent_emb"), 6))
-        .withColumn("crk", F.row_number().over(assign_w))
-        .filter(F.col("crk") == 1)
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("embedding").alias("c_emb"),
-            "centroid_id",
-        )
-    )
-    probe_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("centroid_id")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", F.round(cosine_sql("embedding", "cent_emb"), 6))
-        .withColumn("crk", F.row_number().over(probe_w))
-        .filter(F.col("crk") <= n_probe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            "centroid_id",
-        )
-    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.slice(
+                F.sort_array(_cent_score_array("embedding", cents), asc=False),
+                1,
+                n_probe,
+            )
+        ).alias("pr"),
+    ).select("query_id", "q_emb", (-F.col("pr.neg_id")).alias("centroid_id"))
     scored = (
         probes.join(assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))

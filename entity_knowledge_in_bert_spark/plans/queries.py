@@ -838,8 +838,53 @@ def ann_anchor_lsh_buckets(spark, sf_dir):
     return anchor_lsh_buckets(e, anchors)
 
 
-@q("ann_ivf_topk", None)  # centroid sampling uses xxhash64 -> rows-only
+_COS_PA = (
+    "round(list_dot_product(p.q_emb::DOUBLE[], a.c_emb::DOUBLE[]) / "
+    "(sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) * "
+    "sqrt(list_dot_product(a.c_emb::DOUBLE[], a.c_emb::DOUBLE[]))), 6)"
+)
+_COS_EC = (
+    "round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))), 6)"
+)
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb
+  FROM embeddings
+  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+  LIMIT 16),
+assigned AS (
+  SELECT cand_id, c_emb, centroid_id FROM (
+    SELECT e.vec_id AS cand_id, e.embedding AS c_emb, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, c.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cents c) t
+  WHERE crk = 1),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, c.centroid_id ASC) AS crk
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < 5) t
+  WHERE crk <= 4)
+SELECT query_id, cand_id, cos, rank FROM (
+  SELECT p.query_id, a.cand_id, {_COS_PA} AS cos,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY {_COS_PA} DESC, a.cand_id ASC) AS rank
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id != a.cand_id) t
+WHERE rank <= 10
+""",
+)
 def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN — centroid choice (Knuth-hash sample) and the shuffle-free
+    argmax assignment are both reproduced relationally in the oracle."""
     from ..operators.ann import ivf_topk
 
     e = T(spark, sf_dir, "embeddings")

@@ -65,6 +65,27 @@ def test_broadcast_join_for_alias_dict(spark):
     assert "BroadcastHashJoin" in _plan(m)
 
 
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """The IVF coarse-quantization (corpus -> nearest centroid) must be a
+    pure projection: NO Exchange in its plan (VERDICT r1: the old
+    crossJoin+window shuffled a 16x-expanded corpus)."""
+    from pyspark.sql import functions as F2
+
+    from entity_knowledge_in_bert_spark.operators import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ann.ivf_centroids(e, 16)
+    assigned = e.select(
+        F2.col("vec_id").alias("cand_id"),
+        (-F2.array_max(ann._cent_score_array("embedding", cents))["neg_id"]).alias(
+            "centroid_id"
+        ),
+    )
+    plan = _plan(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" in plan
+
+
 def test_wholestage_codegen_on_relational_spine(spark, sf_dir):
     from entity_knowledge_in_bert_spark.plans.queries import q1_pricing_summary
 
