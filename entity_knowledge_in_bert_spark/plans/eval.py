@@ -34,19 +34,64 @@ def labeled_pairs_from_gold(
     )
 
 
-def pairwise_f1(labeled: DataFrame, clusters: DataFrame) -> dict:
-    """Pairwise precision/recall/F1 of cluster assignments on labeled pairs."""
+def _confusion(labeled: DataFrame, clusters: DataFrame) -> DataFrame:
+    """labeled pairs x cluster assignments -> per-pair pred_same flags."""
     ca = clusters.select(
         F.col("mention_id").alias("mention_a"), F.col("cluster_id").alias("_ca")
     )
     cb = clusters.select(
         F.col("mention_id").alias("mention_b"), F.col("cluster_id").alias("_cb")
     )
-    j = (
+    return (
         labeled.join(ca, "mention_a")
         .join(cb, "mention_b")
         .withColumn("pred_same", F.col("_ca") == F.col("_cb"))
     )
+
+
+def pairwise_f1_df(labeled: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Single-row benchmark-score DataFrame (tp, fp, fn, n_pairs,
+    pair_precision, pair_recall, pair_f1) — the EP3 eval surface as a
+    relational plan (oracle-expressible; see benchmark_conll_eval).
+    Ratios use floor-half-up rounding to 6 digits so the value hash is
+    engine-portable."""
+    j = _confusion(labeled, clusters)
+    agg = j.agg(
+        F.sum(F.when(F.col("pred_same") & F.col("same_entity"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred_same") & ~F.col("same_entity"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred_same") & F.col("same_entity"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.count("*").alias("n_pairs"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(
+        2 * prec * rec / (prec + rec)
+    )
+    rnd = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "n_pairs",
+        rnd(prec).alias("pair_precision"),
+        rnd(rec).alias("pair_recall"),
+        rnd(f1).alias("pair_f1"),
+    )
+
+
+def pairwise_f1(labeled: DataFrame, clusters: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of cluster assignments on labeled pairs."""
+    j = _confusion(labeled, clusters)
     agg = j.agg(
         F.sum(F.when(F.col("pred_same") & F.col("same_entity"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(F.col("pred_same") & ~F.col("same_entity"), 1).otherwise(0)).alias("fp"),

@@ -1148,6 +1148,128 @@ def _er_scale(sf_dir: str) -> int:
     return 2000
 
 
+# --------------------------------------------------------------------------
+# EP3 — benchmark evaluation (SURVEY §3.1): AIDA-CoNLL-style TSV -> gold
+# labeled pairs at the shared blocking key -> pairwise P/R/F1. The fixture
+# is a committed, deterministically synthesized file (no external data).
+# --------------------------------------------------------------------------
+import pathlib as _pathlib
+
+_CONLL_FIXTURE = str(
+    _pathlib.Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "conll_benchmark.tsv"
+)
+
+_JW_T = 0.92  # frozen match threshold for the benchmark's surface scorer
+
+
+@q(
+    "benchmark_conll_eval",
+    f"""
+WITH RECURSIVE raw AS (
+  SELECT * FROM read_csv('{_CONLL_FIXTURE}', delim='\t', header=false,
+    columns={{'token':'VARCHAR','bio':'VARCHAR','surface':'VARCHAR','entity':'VARCHAR'}})),
+m AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS mention_id,
+         surface, entity, lower(substr(surface, 1, 4)) AS block_key
+  FROM raw WHERE bio = 'B'),
+p AS (
+  SELECT a.mention_id AS mention_a, b.mention_id AS mention_b,
+         a.block_key, a.surface AS sa, b.surface AS sb,
+         (a.entity = b.entity) AS same_entity
+  FROM m a JOIN m b
+    ON a.block_key = b.block_key AND a.mention_id < b.mention_id),
+e0 AS (
+  SELECT mention_a AS src, mention_b AS dst FROM p
+  WHERE floor(jaro_winkler_similarity(lower(sa), lower(sb)) * 10000 + 0.5)
+        / 10000 >= {_JW_T}),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(node, root) AS (
+  SELECT mention_id, mention_id FROM m
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+clus AS (SELECT node AS mention_id, MIN(root) AS cluster_id
+         FROM reach GROUP BY node),
+conf AS (
+  SELECT p.same_entity, (ca.cluster_id = cb.cluster_id) AS pred_same
+  FROM p JOIN clus ca ON ca.mention_id = p.mention_a
+         JOIN clus cb ON cb.mention_id = p.mention_b),
+agg AS (SELECT
+  CAST(SUM(CASE WHEN pred_same AND same_entity THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN pred_same AND NOT same_entity THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN NOT pred_same AND same_entity THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  COUNT(*) AS n_pairs FROM conf)
+SELECT tp, fp, fn, n_pairs,
+  floor((CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp)::DOUBLE END)
+        * 1000000 + 0.5) / 1000000 AS pair_precision,
+  floor((CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / (tp + fn)::DOUBLE END)
+        * 1000000 + 0.5) / 1000000 AS pair_recall,
+  floor((CASE WHEN (CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp)::DOUBLE END)
+            + (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / (tp + fn)::DOUBLE END) = 0
+       THEN 0.0
+       ELSE 2 * (CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp)::DOUBLE END)
+              * (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / (tp + fn)::DOUBLE END)
+            / ((CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp)::DOUBLE END)
+             + (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / (tp + fn)::DOUBLE END))
+       END) * 1000000 + 0.5) / 1000000 AS pair_f1
+FROM agg
+""",
+)
+def benchmark_conll_eval(spark, sf_dir):
+    """EP3 — the reference's headline deliverable as a driver-visible
+    query (VERDICT r1 #6): S3 read_conll_tsv over a committed
+    AIDA-CoNLL-style fixture -> mentions (bio='B') with deterministic ids
+    -> within-block labeled pairs (plans/eval.labeled_pairs_from_gold)
+    -> predicted clusters = connected components over Jaro-Winkler >=
+    0.92 surface edges -> single-row pairwise P/R/F1
+    (plans/eval.pairwise_f1_df). The DuckDB oracle reproduces the entire
+    path, including the recursive transitive closure.
+
+    Reference analog: metrics.py strong-match micro-F1 on AIDA-CoNLL [R];
+    re-expressed pairwise per BASELINE.json:metric."""
+    from ..operators.cluster import assign_clusters
+    from ..plans.eval import labeled_pairs_from_gold, pairwise_f1_df
+    from ..sources.readers import read_conll_tsv
+
+    tsv = read_conll_tsv(spark, _CONLL_FIXTURE)
+    w = Window.orderBy("token")
+    m = (
+        tsv.filter(F.col("bio") == "B")
+        .withColumn("mention_id", F.row_number().over(w).cast("bigint"))
+        .withColumn("block_key", F.lower(F.substring("surface", 1, 4)))
+        .select("mention_id", "surface", "entity", "block_key")
+    )
+    a = m.select(
+        F.col("mention_id").alias("mention_a"),
+        F.col("surface").alias("sa"),
+        "block_key",
+    )
+    b = m.select(
+        F.col("mention_id").alias("mention_b"),
+        F.col("surface").alias("sb"),
+        "block_key",
+    )
+    p = a.join(b, "block_key").filter(F.col("mention_a") < F.col("mention_b"))
+    labeled = labeled_pairs_from_gold(
+        p.select("mention_a", "mention_b", "block_key"),
+        m.select("mention_id", F.col("entity").alias("entity_gold")),
+    )
+    jw = (
+        F.floor(
+            jaro_winkler(F.lower(F.col("sa")), F.lower(F.col("sb"))) * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    edges = p.filter(jw >= F.lit(_JW_T)).select(
+        F.col("mention_a").alias("src"), F.col("mention_b").alias("dst")
+    )
+    clusters = assign_clusters(m.select("mention_id"), edges)
+    return pairwise_f1_df(labeled, clusters)
+
+
 @q("er_pipeline_clusters", None)
 def er_pipeline_clusters(spark, sf_dir):
     import tempfile
