@@ -55,6 +55,15 @@ T_COS_MINOR = 0.50
 T_STRING_OOD = 0.90
 T_COS_OOD = 0.40
 
+# JVM prefilter for the Jaro-Winkler Arrow boundary: string_sim =
+# (jw + lev_ratio)/2 >= T_STRING_OOD requires jw >= 2*T_STRING_OOD -
+# lev_ratio, so with lev_ratio < 2*T_STRING_OOD - 1 even jw = 1.0 cannot
+# reach the OOD rule — the Python kernel can never change the match
+# decision for those pairs and is skipped (string_sim falls back to
+# lev_ratio there, which only perturbs the reported ranking `score` of
+# pairs that are non-matches regardless).
+T_JW_GATE = 2 * T_STRING_OOD - 1.0  # = 0.80
+
 
 def prior_dot_table(aliases: DataFrame) -> DataFrame:
     """(alias_a, alias_b, prior_dot): Σ_e p(e|a)·p(e|b) for every surface
@@ -77,19 +86,48 @@ def prior_dot_table(aliases: DataFrame) -> DataFrame:
     )
 
 
+def _with_string_sim(pairs_feat: DataFrame) -> DataFrame:
+    """string_sim with the JW kernel gated JVM-side (VERDICT r1 #7).
+
+    Three tiers, cheapest first:
+      * identical surfaces (the bulk of alias-blocked ER pairs):
+        string_sim = 1.0, pure JVM;
+      * lev_ratio < T_JW_GATE: JW provably cannot flip the match
+        decision (see T_JW_GATE derivation) -> string_sim = lev_ratio,
+        pure JVM;
+      * survivors only cross the Arrow boundary for the O(len^2) Python
+        Jaro-Winkler kernel.
+    Implemented as filter + union (NOT F.when: Spark evaluates pandas
+    UDFs in a separate ArrowEvalPython node for every input row, so a
+    conditional expression would not skip the kernel)."""
+    # empty==empty is excluded from the fast path: JW defines it as 0.0
+    # (DuckDB semantics), so it must flow through the hot branch
+    eq = (F.col("surface_a") == F.col("surface_b")) & (
+        F.length("surface_a") > 0
+    )
+    base = pairs_feat.withColumn(
+        "_lev_r", levenshtein_ratio(F.col("surface_a"), F.col("surface_b"))
+    )
+    cold = base.filter(eq | (F.col("_lev_r") < T_JW_GATE)).withColumn(
+        "string_sim", F.when(eq, F.lit(1.0)).otherwise(F.col("_lev_r"))
+    )
+    hot = base.filter(~eq & (F.col("_lev_r") >= T_JW_GATE)).withColumn(
+        "string_sim",
+        (
+            jaro_winkler(F.col("surface_a"), F.col("surface_b"))
+            + F.col("_lev_r")
+        )
+        / 2.0,
+    )
+    return cold.unionByName(hot).drop("_lev_r")
+
+
 def score_pairs(pairs_feat: DataFrame, aliases: DataFrame) -> DataFrame:
     """pairs with (surface_a/b, vec_a/b) -> + string_sim, ctx_cos,
     prior_dot, score, match."""
     prior = prior_dot_table(aliases)
     scored = (
-        pairs_feat.withColumn(
-            "string_sim",
-            (
-                jaro_winkler(F.col("surface_a"), F.col("surface_b"))
-                + levenshtein_ratio(F.col("surface_a"), F.col("surface_b"))
-            )
-            / 2.0,
-        )
+        _with_string_sim(pairs_feat)
         .withColumn(
             "ctx_cos",
             F.greatest(cosine_vec(F.col("vec_a"), F.col("vec_b")), F.lit(0.0)),

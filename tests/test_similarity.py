@@ -43,3 +43,67 @@ def test_jw_random_strings_vs_duckdb():
             "select jaro_winkler_similarity(?, ?)", params=[a, b]
         ).fetchone()[0]
         assert abs(jaro_winkler_py(a, b) - oracle) < 1e-12, (a, b)
+
+
+def test_gated_string_sim_never_flips_match(spark):
+    """The JVM prefilter (T_JW_GATE) must be decision-equivalent: the
+    gated scorer's `match` column equals the ungated full-JW compute on
+    surface pairs spanning identical / near / far strings."""
+    from pyspark.sql import functions as F
+
+    from entity_knowledge_in_bert_spark.functions.similarity import (
+        jaro_winkler,
+        levenshtein_ratio,
+    )
+    from entity_knowledge_in_bert_spark.operators import scoring
+
+    surfaces = [
+        "berlin", "berlin", "berlln", "paris", "paris france",
+        "new york", "new york city", "nyc", "spark", "sparc",
+        "a", "ab", "completely different", "berlin city",
+    ]
+    rows = []
+    pid = 0
+    for i, sa in enumerate(surfaces):
+        for sb in surfaces[i + 1:]:
+            rows.append((pid, pid + 100000, sa, sb, [1.0, 0.0], [1.0, 0.0]))
+            pid += 1
+    pairs = spark.createDataFrame(
+        rows,
+        "mention_a long, mention_b long, surface_a string, "
+        "surface_b string, vec_a array<float>, vec_b array<float>",
+    )
+    aliases = spark.createDataFrame(
+        [("berlin", 1, 10, 1.0), ("paris", 2, 10, 1.0)],
+        "alias string, entity_id long, cnt long, prior double",
+    )
+    got = {
+        r["mention_a"]: (r["match"], r["string_sim"])
+        for r in scoring.score_pairs(pairs, aliases).collect()
+    }
+    # ungated reference: full JW for every pair
+    full = pairs.withColumn(
+        "string_sim",
+        (
+            jaro_winkler(F.col("surface_a"), F.col("surface_b"))
+            + levenshtein_ratio(F.col("surface_a"), F.col("surface_b"))
+        )
+        / 2.0,
+    )
+    for r in full.collect():
+        ss = r["string_sim"]
+        # decision-relevant region: gated string_sim must agree exactly
+        if ss >= scoring.T_STRING_OOD:
+            assert abs(got[r["mention_a"]][1] - ss) < 1e-12, r
+    # matches identical to a scorer with the gate disabled (gate at -1
+    # routes every pair through the hot branch)
+    orig = scoring.T_JW_GATE
+    try:
+        scoring.T_JW_GATE = -1.0
+        ungated = {
+            r["mention_a"]: r["match"]
+            for r in scoring.score_pairs(pairs, aliases).collect()
+        }
+    finally:
+        scoring.T_JW_GATE = orig
+    assert {k: v[0] for k, v in got.items()} == ungated
