@@ -24,8 +24,11 @@ BASELINE.json's pairwise-F1 metric is conditioned on):
   so the key definition is a frozen closed-form expression.
 
 Oversized LSH buckets (degenerate shingle patterns) are capped: keys whose
-population exceeds ``max_block`` are dropped and counted — the cap is an
-explicit, audited recall trade (see ``block_stats``), not a silent one.
+population exceeds ``CAP_FACTOR * max_block`` are dropped (salted entity
+keys target ``max_block`` by construction; LSH bands get the slack factor
+before the hard drop). The drop is an explicit, AUDITED recall trade:
+``block_audit`` reports the PRE-cap size histogram with a ``dropped``
+flag per size, so capped keys are visible, not silent.
 """
 
 from __future__ import annotations
@@ -122,32 +125,69 @@ def entity_salted_keys(
     return salted
 
 
-def block_keys(
+CAP_FACTOR = 2  # hard-drop threshold = CAP_FACTOR * max_block
+
+
+def sized_block_keys(
     mentions: DataFrame,
     candidates: DataFrame,
     max_block: int = DEFAULT_MAX_BLOCK,
     use_lsh: bool = True,
 ) -> DataFrame:
-    """Union of both key families, oversized-key cap applied.
-
-    Returns (mention_id, block_key), distinct.
-    """
+    """PRE-cap (mention_id, block_key, _bsize), distinct. Dedup + size
+    in one shuffle: window count over the same partitioning the distinct
+    uses (a groupBy+join here costs a second shuffle of the full key
+    set)."""
     from pyspark.sql import Window
 
     keys = entity_salted_keys(candidates, max_block)
     if use_lsh:
         keys = keys.unionByName(lsh_band_keys(mentions))
-    # dedup + size cap in one shuffle: window count over the same
-    # partitioning the distinct uses (a groupBy+join here costs a second
-    # shuffle of the full key set)
     w = Window.partitionBy("block_key")
-    kept = (
-        keys.distinct()
-        .withColumn("_bsize", F.count("*").over(w))
-        .filter(F.col("_bsize") <= F.lit(max_block * 2))
+    return keys.distinct().withColumn("_bsize", F.count("*").over(w))
+
+
+def block_keys(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    use_lsh: bool = True,
+    cap_factor: int = CAP_FACTOR,
+) -> DataFrame:
+    """Union of both key families; keys with more than
+    ``cap_factor * max_block`` members are dropped (see module docstring
+    — audit the drop with ``block_audit``, which sees pre-cap sizes).
+
+    Returns (mention_id, block_key), distinct.
+    """
+    return (
+        sized_block_keys(mentions, candidates, max_block, use_lsh)
+        .filter(F.col("_bsize") <= F.lit(max_block * cap_factor))
         .drop("_bsize")
     )
-    return kept
+
+
+def block_audit(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    use_lsh: bool = True,
+    cap_factor: int = CAP_FACTOR,
+) -> DataFrame:
+    """PRE-cap block-size histogram with the cap decision made visible:
+    (block_size, n_blocks, dropped). Every key block_keys() silently
+    removes shows up here with dropped = true."""
+    sized = sized_block_keys(mentions, candidates, max_block, use_lsh)
+    return (
+        sized.groupBy("block_key")
+        .agg(F.first("_bsize").alias("block_size"))
+        .groupBy("block_size")
+        .agg(F.count("*").alias("n_blocks"))
+        .withColumn(
+            "dropped", F.col("block_size") > F.lit(max_block * cap_factor)
+        )
+        .orderBy("block_size")
+    )
 
 
 def block_stats(keys: DataFrame) -> DataFrame:

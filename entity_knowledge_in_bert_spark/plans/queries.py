@@ -1289,6 +1289,9 @@ def er_pipeline_clusters(spark, sf_dir):
 
 @q("er_block_size_histogram", None)
 def er_block_size_histogram(spark, sf_dir):
+    """J5/A7 audit — PRE-cap block-size histogram with the oversized-key
+    drop made visible (dropped flag), so the cap is an audited recall
+    trade rather than a silent one (ADVICE r1)."""
     from .. import datagen
     from ..operators import blocking, mentions
     from ..operators.extract import with_extracted_text
@@ -1302,8 +1305,7 @@ def er_block_size_histogram(spark, sf_dir):
     aliases = datagen.alias_df(spark)
     m = mentions.detect_mentions(extracted, aliases)
     cand = mentions.candidate_entities(m, aliases)
-    keys = blocking.block_keys(m, cand)
-    return blocking.block_stats(keys)
+    return blocking.block_audit(m, cand)
 
 
 @q("minhash_lsh_ml", None)

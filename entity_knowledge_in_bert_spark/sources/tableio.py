@@ -44,11 +44,30 @@ class SnapshotInfo:
 class TableIO:
     """Warehouse of snapshot-versioned Parquet tables."""
 
-    def __init__(self, spark: SparkSession, warehouse: str, use_iceberg: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        catalog: str | None = None,
+        namespace: str = "er",
+    ):
+        """``catalog``: name of a configured Iceberg catalog
+        (``spark.sql.catalog.<name>`` + runtime jar on the cluster). When
+        set, table STORAGE delegates to Iceberg — ``df.writeTo(...)`` on
+        write, ``spark.read.format("iceberg")`` with snapshot-id time
+        travel on read, per-partition row counts from the ``.files``
+        metadata table — while the manifest + ``_lineage`` bookkeeping
+        stays identical, so nothing outside this module knows which
+        backend is active. The sandbox ships no Iceberg jars (SURVEY.md
+        §7): the delegation is exercised only against a real catalog."""
         self.spark = spark
         self.warehouse = warehouse
-        self.use_iceberg = use_iceberg  # real catalog path; off in sandbox
+        self.catalog = catalog
+        self.namespace = namespace
         os.makedirs(warehouse, exist_ok=True)
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
 
     # -- manifest helpers ---------------------------------------------------
     def _manifest_path(self, table: str) -> str:
@@ -82,29 +101,55 @@ class TableIO:
         """Write df as a NEW snapshot of `table` (create-or-replace
         semantics on read: latest snapshot wins). Appends per-partition
         lineage rows."""
-        manifest = self._load_manifest(table)
-        snap_id = f"snap-{len(manifest['snapshots']):04d}-{uuid.uuid4().hex[:8]}"
-        path = os.path.join(self.warehouse, table, snap_id)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-
-        # ZERO extra Spark jobs: every task of the write job produced one
-        # parquet file, so per-partition row counts come straight from the
-        # file footers (pyarrow metadata read, driver-side, milliseconds).
         import pyarrow.parquet as pq
 
-        files = sorted(
-            os.path.join(dp, f)
-            for dp, _dirs, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        part_counts = [
-            {"partition_id": i, "rows_out": pq.ParquetFile(f).metadata.num_rows}
-            for i, f in enumerate(files)
-        ]
+        manifest = self._load_manifest(table)
+        if self.catalog:
+            # Iceberg storage: REPLACE keeps snapshot lineage in table
+            # metadata, so time travel by the recorded snapshot id works.
+            ident = self._ident(table)
+            w = df.writeTo(ident).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            snap_id = str(
+                self.spark.sql(
+                    f"SELECT snapshot_id FROM {ident}.snapshots "
+                    "ORDER BY committed_at DESC LIMIT 1"
+                ).collect()[0]["snapshot_id"]
+            )
+            part_counts = [
+                {"partition_id": i, "rows_out": int(r["record_count"])}
+                for i, r in enumerate(
+                    self.spark.sql(
+                        f"SELECT record_count FROM {ident}.files "
+                        "ORDER BY file_path"
+                    ).collect()
+                )
+            ]
+        else:
+            snap_id = (
+                f"snap-{len(manifest['snapshots']):04d}-{uuid.uuid4().hex[:8]}"
+            )
+            path = os.path.join(self.warehouse, table, snap_id)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+
+            # ZERO extra Spark jobs: every task of the write job produced
+            # one parquet file, so per-partition row counts come straight
+            # from the file footers (pyarrow metadata, driver-side, ms).
+            files = sorted(
+                os.path.join(dp, f)
+                for dp, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            part_counts = [
+                {"partition_id": i, "rows_out": pq.ParquetFile(f).metadata.num_rows}
+                for i, f in enumerate(files)
+            ]
         rows = int(sum(r["rows_out"] for r in part_counts))
         entry = {
             "snapshot_id": snap_id,
@@ -125,7 +170,7 @@ class TableIO:
 
             now = int(time.time() * 1_000_000)
             n = max(len(part_counts), 1)
-            table = pa.table(
+            lineage_tbl = pa.table(
                 {
                     "stage": [stage] * n,
                     "run_id": [run] * n,
@@ -142,7 +187,7 @@ class TableIO:
             )
             lpath = os.path.join(self.warehouse, "_lineage", f"{stage}-{snap_id}")
             os.makedirs(lpath, exist_ok=True)
-            pq.write_table(table, os.path.join(lpath, "lineage.parquet"))
+            pq.write_table(lineage_tbl, os.path.join(lpath, "lineage.parquet"))
         return SnapshotInfo(snap_id, table, rows, entry["created_ms"], entry["inputs"])
 
     def latest_snapshot(self, table: str) -> str | None:
@@ -156,6 +201,12 @@ class TableIO:
         snap = snapshot_id or self.latest_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"table {table} has no complete snapshot")
+        if self.catalog:
+            return (
+                self.spark.read.format("iceberg")
+                .option("snapshot-id", snap)
+                .load(self._ident(table))
+            )
         return self.spark.read.parquet(os.path.join(self.warehouse, table, snap))
 
     def read_lineage(self) -> DataFrame:

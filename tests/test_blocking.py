@@ -75,3 +75,29 @@ def test_similar_surfaces_share_a_band(spark):
     c = keys.filter(F.col("mention_id") == 3).select("block_key")
     assert a.intersect(b).count() >= 1  # near-identical surfaces collide
     assert a.intersect(c).count() == 0  # unrelated surfaces don't
+
+
+def test_block_audit_sees_dropped_keys(spark):
+    """block_keys drops keys above cap_factor*max_block; block_audit must
+    report those very keys with dropped=true (the cap is an audited
+    trade, not a silent one)."""
+    m, cand, _ = _keys(spark, max_block=4)
+    audit = blocking.block_audit(m, cand, max_block=4).collect()
+    kept = blocking.block_keys(m, cand, max_block=4)
+    max_kept = (
+        kept.groupBy("block_key").agg(F.count("*").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert max_kept <= 4 * blocking.CAP_FACTOR
+    dropped_rows = [r for r in audit if r["dropped"]]
+    # with max_block=4 the fixture's head blocks must exceed the cap
+    assert dropped_rows, "audit shows no dropped keys despite a tiny cap"
+    assert all(r["block_size"] > 4 * blocking.CAP_FACTOR for r in dropped_rows)
+    # every audited size <= cap appears in the kept keys' histogram
+    kept_sizes = {
+        r["block_size"]
+        for r in blocking.block_stats(kept).collect()
+    }
+    for r in audit:
+        if not r["dropped"]:
+            assert r["block_size"] in kept_sizes
