@@ -82,6 +82,37 @@ def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def make_gated_string_sim(gate: float):
+    """Factory: Arrow-batched string_sim = (jw + lev_ratio)/2 with the
+    O(len^2) Jaro-Winkler kernel SKIPPED whenever it provably cannot
+    matter (see scoring.T_JW_GATE): identical non-empty strings ->
+    string_sim = 1.0; lev_ratio < gate -> string_sim = lev_ratio; only
+    the survivors run the quadratic kernel. The column still crosses the
+    Arrow boundary once per batch (transfer is cheap); what the gate
+    removes is the per-pair kernel cost. lev_ratio is computed JVM-side
+    (builtin levenshtein) and passed in, so the plan stays one branch —
+    a filter+union formulation would recompute the upstream pair-feature
+    joins once per branch."""
+
+    @pandas_udf(DoubleType())
+    def gated_string_sim(
+        a: pd.Series, b: pd.Series, lev_r: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(a), dtype="float64")
+        for i, (x, y, lr) in enumerate(zip(a, b, lev_r)):
+            if x is None or y is None:
+                out[i] = np.nan
+            elif x == y and len(x) > 0:
+                out[i] = 1.0  # jw == lev_ratio == 1 for identical strings
+            elif lr < gate:
+                out[i] = lr  # kernel can't flip the decision here
+            else:
+                out[i] = (jaro_winkler_py(x, y) + lr) / 2.0
+        return pd.Series(out)
+
+    return gated_string_sim
+
+
 def levenshtein_ratio(a: Column, b: Column) -> Column:
     """1 - lev(a,b)/max(len) in [0,1]; all JVM-side."""
     denom = F.greatest(F.length(a), F.length(b))

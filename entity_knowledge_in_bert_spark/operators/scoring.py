@@ -39,7 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine_vec, jaro_winkler, levenshtein_ratio
+from ..functions.similarity import (
+    cosine_vec,
+    levenshtein_ratio,
+    make_gated_string_sim,
+)
 
 W_STRING = 0.25
 W_COS = 0.45
@@ -87,39 +91,27 @@ def prior_dot_table(aliases: DataFrame) -> DataFrame:
 
 
 def _with_string_sim(pairs_feat: DataFrame) -> DataFrame:
-    """string_sim with the JW kernel gated JVM-side (VERDICT r1 #7).
+    """string_sim with the JW kernel gated (VERDICT r1 #7).
 
-    Three tiers, cheapest first:
-      * identical surfaces (the bulk of alias-blocked ER pairs):
-        string_sim = 1.0, pure JVM;
-      * lev_ratio < T_JW_GATE: JW provably cannot flip the match
-        decision (see T_JW_GATE derivation) -> string_sim = lev_ratio,
-        pure JVM;
-      * survivors only cross the Arrow boundary for the O(len^2) Python
-        Jaro-Winkler kernel.
-    Implemented as filter + union (NOT F.when: Spark evaluates pandas
-    UDFs in a separate ArrowEvalPython node for every input row, so a
-    conditional expression would not skip the kernel)."""
-    # empty==empty is excluded from the fast path: JW defines it as 0.0
-    # (DuckDB semantics), so it must flow through the hot branch
-    eq = (F.col("surface_a") == F.col("surface_b")) & (
-        F.length("surface_a") > 0
-    )
-    base = pairs_feat.withColumn(
-        "_lev_r", levenshtein_ratio(F.col("surface_a"), F.col("surface_b"))
-    )
-    cold = base.filter(eq | (F.col("_lev_r") < T_JW_GATE)).withColumn(
-        "string_sim", F.when(eq, F.lit(1.0)).otherwise(F.col("_lev_r"))
-    )
-    hot = base.filter(~eq & (F.col("_lev_r") >= T_JW_GATE)).withColumn(
+    Three tiers inside ONE Arrow-batched UDF, cheapest first: identical
+    non-empty surfaces (the bulk of alias-blocked ER pairs) -> 1.0;
+    lev_ratio < T_JW_GATE -> lev_ratio (JW provably cannot flip the
+    match decision, see T_JW_GATE derivation); survivors run the
+    O(len^2) Python Jaro-Winkler kernel. lev_ratio is computed JVM-side
+    (builtin levenshtein) and fed in as a column. A single-branch plan
+    on purpose: F.when would not skip a pandas UDF (Spark evaluates it
+    in a separate ArrowEvalPython node for every row), and filter+union
+    would recompute the upstream pair-feature joins once per branch.
+    Empty==empty keeps JW's 0.0 semantics via the kernel path."""
+    sim = make_gated_string_sim(T_JW_GATE)
+    return pairs_feat.withColumn(
         "string_sim",
-        (
-            jaro_winkler(F.col("surface_a"), F.col("surface_b"))
-            + F.col("_lev_r")
-        )
-        / 2.0,
+        sim(
+            F.col("surface_a"),
+            F.col("surface_b"),
+            levenshtein_ratio(F.col("surface_a"), F.col("surface_b")),
+        ),
     )
-    return cold.unionByName(hot).drop("_lev_r")
 
 
 def score_pairs(pairs_feat: DataFrame, aliases: DataFrame) -> DataFrame:

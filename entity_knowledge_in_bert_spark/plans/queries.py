@@ -1149,6 +1149,81 @@ def _er_scale(sf_dir: str) -> int:
 
 
 # --------------------------------------------------------------------------
+# S2/S6 — source-connector round trips (SURVEY §2.1), value-checked: the
+# connector writes a shard set derived from `documents`, reads it back
+# through the declared-schema reader, and the oracle recomputes the same
+# projection straight from `documents` — any loss/corruption in the
+# write->read path flips the hash (sha256 of the text survives the trip).
+# --------------------------------------------------------------------------
+@q(
+    "s2_extractor_shards_roundtrip",
+    "SELECT doc_id AS id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+    "sha256(text) AS text_sha, "
+    "upper(string_split(text, ' ')[1]) AS target0, "
+    "CAST(length(string_split(text, ' ')[1]) AS INT) AS end0 "
+    "FROM documents",
+)
+def s2_extractor_shards_roundtrip(spark, sf_dir):
+    """S2 — WikiExtractor-style JSON-lines shards: write doc shards with
+    anchor-link structs, read them back via read_extractor_shards'
+    declared schema, project. Byte fidelity proven by sha256(text)."""
+    import tempfile
+
+    from ..sources.readers import read_extractor_shards
+
+    first_tok = F.split(F.col("text"), " ").getItem(0)
+    shards = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        "text",
+        F.array(
+            F.struct(
+                F.lit(0).alias("begin"),
+                F.length(first_tok).cast("int").alias("end"),
+                F.upper(first_tok).alias("target"),
+            )
+        ).alias("links"),
+    )
+    out = tempfile.mkdtemp(prefix="s2_shards_")
+    shards.write.mode("overwrite").json(out)
+    back = read_extractor_shards(spark, out)
+    link0 = F.element_at("links", 1)
+    return back.select(
+        "id",
+        "title",
+        F.sha2("text", 256).alias("text_sha"),
+        link0["target"].alias("target0"),
+        link0["end"].alias("end0"),
+    )
+
+
+@q(
+    "s6_partitioned_shards_roundtrip",
+    "SELECT doc_id, sha256(text) AS text_sha, 8 AS n_shards FROM documents",
+)
+def s6_partitioned_shards_roundtrip(spark, sf_dir):
+    """S6 — deterministic columnar shard sink: hash-shard `documents`
+    into 8 parquet shards, read back, verify content (sha256) and that
+    exactly 8 shard files were produced (countDistinct input_file_name
+    over a window-free scalar subquery kept as a cross join of 1 row)."""
+    import tempfile
+
+    from ..sources.readers import write_partitioned_shards
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="s6_shards_")
+    write_partitioned_shards(docs, out, n_shards=8, key="doc_id")
+    back = spark.read.parquet(out)
+    n_files = (
+        back.select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f").cast("int").alias("n_shards"))
+    )
+    return back.select(
+        "doc_id", F.sha2("text", 256).alias("text_sha")
+    ).crossJoin(F.broadcast(n_files))
+
+
+# --------------------------------------------------------------------------
 # EP3 — benchmark evaluation (SURVEY §3.1): AIDA-CoNLL-style TSV -> gold
 # labeled pairs at the shared blocking key -> pairwise P/R/F1. The fixture
 # is a committed, deterministically synthesized file (no external data).
