@@ -78,9 +78,10 @@ def connected_components(
     """
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
-    # handful of tasks instead of a full shuffle width
-    n_edges = edges.count()
-    parts = max(4, min(64, n_edges // 500_000 + 4))
+    # handful of tasks instead of a full shuffle width. Sized from the
+    # input's split count (free — no job) instead of a count() action,
+    # which cost a full serial pass over the scored-pairs table per run.
+    parts = max(4, min(64, edges.rdd.getNumPartitions()))
     # canonical form: (u=max, v=min), deduped once up front
     cur = (
         edges.select(

@@ -111,7 +111,7 @@ def compute_idf(
     text_col: str = "text",
     sample_mod: int = 10,
     min_df: int = 2,
-    max_vocab: int = 262_144,
+    max_vocab: int = 65_536,
 ) -> dict[str, float]:
     """Relational document-frequency aggregation -> bounded IDF dict.
 
@@ -151,15 +151,19 @@ def compute_idf(
         )
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
+        .persist()  # stopword + signal actions share ONE token aggregation
     )
-    stop_floor = STOPWORD_DF_FRACTION * n_docs
-    signal = (
-        df_tok.filter((F.col("df") >= min_df) & (F.col("df") <= stop_floor))
-        .orderBy(F.desc("df"), F.asc("tok"))  # deterministic truncation
-        .limit(max_vocab)
-    )
-    stop = df_tok.filter(F.col("df") > stop_floor)
-    out = {r["tok"]: 0.0 for r in stop.collect()}  # stopword: dropped
-    for r in signal.collect():
-        out[r["tok"]] = float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+    try:
+        stop_floor = STOPWORD_DF_FRACTION * n_docs
+        signal = (
+            df_tok.filter((F.col("df") >= min_df) & (F.col("df") <= stop_floor))
+            .orderBy(F.desc("df"), F.asc("tok"))  # deterministic truncation
+            .limit(max_vocab)
+        )
+        stop = df_tok.filter(F.col("df") > stop_floor)
+        out = {r["tok"]: 0.0 for r in stop.collect()}  # stopword: dropped
+        for r in signal.collect():
+            out[r["tok"]] = float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+    finally:
+        df_tok.unpersist()
     return out

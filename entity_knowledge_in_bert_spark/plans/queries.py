@@ -1083,6 +1083,36 @@ def stream_tumbling_counts(spark, sf_dir):
 
 
 @q(
+    "stream_sliding_sums",
+    """
+WITH slots AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS slot, event_type, value
+  FROM events),
+w AS (
+  SELECT slot - (INTERVAL '15 minutes' * i) AS win_start, event_type, value
+  FROM slots CROSS JOIN range(4) r(i))
+SELECT win_start, win_start + INTERVAL '1 hour' AS win_end, event_type,
+       round(SUM(value), 4) AS value_sum
+FROM w GROUP BY win_start, event_type
+""",
+)
+def stream_sliding_sums(spark, sf_dir):
+    """T4 — sliding windows (1h window, 15m slide) as a STREAM, value
+    checked: each event lands in exactly 4 epoch-aligned windows, which
+    the oracle reproduces as slot - k*slide for k in 0..3."""
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_stream_to_table,
+        sliding_value_sum,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_table(
+        spark, sliding_value_sum(stream), output_mode="complete"
+    )
+
+
+@q(
     "stream_dedup_count",
     "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
 )
