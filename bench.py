@@ -11,6 +11,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR    parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS      local[N] (default 32)
   SPARK_GRAFT_BENCH_PAGES  synthetic corpus size for the pipeline bench
+  SPARK_GRAFT_BENCH_RUNS   timed pipeline runs, median reported (default 3)
 """
 
 from __future__ import annotations
@@ -53,21 +54,48 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up pass: the first execution of each plan pays JVM JIT +
+    # codegen compilation + Python-worker spawn, none of which exists in
+    # the steady state of a long-running 100 TB job. We report the warm
+    # (second) run as the headline and disclose the cold run alongside.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     registry = Q.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(registry[name](spark, sf_dir))
+        cold[name] = round(time.time() - t0, 3)
     for name in HEADLINE:
         t0 = time.time()
         _force(registry[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # flagship ER pipeline on synthesized Common-Crawl-style pages
-    t0 = time.time()
-    pages = datagen.gen_pages_df(spark, n_pages)
-    with tempfile.TemporaryDirectory(prefix="bench_wh_") as wh:
-        pipe = ERPipeline(spark, TableIO(spark, wh))
-        pipe.run(pages)
-        er_sec = round(time.time() - t0, 3)
-        stage_sec = {k: round(v, 3) for k, v in pipe.timings.items()}
+    # flagship ER pipeline on synthesized Common-Crawl-style pages:
+    # one full-size warm-up run first (JIT compilation of the hot UDF
+    # kernels continues through the first couple of full runs), then
+    # median of 3 timed runs (this sandbox's hypervisor steals CPU in
+    # bursts — single-shot timings swing 2-3x; see BASELINE.md scaling
+    # methodology note). A 100 TB job runs for hours in steady state, so
+    # warm numbers are the ones that extrapolate.
+    with tempfile.TemporaryDirectory(prefix="bench_wh_warm_") as wh:
+        t0 = time.time()
+        ERPipeline(spark, TableIO(spark, wh)).run(
+            datagen.gen_pages_df(spark, n_pages)
+        )
+        cold["er_pipeline_warmup"] = round(time.time() - t0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    er_runs: list[tuple[float, dict[str, float]]] = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        pages = datagen.gen_pages_df(spark, n_pages)
+        with tempfile.TemporaryDirectory(prefix="bench_wh_") as wh:
+            pipe = ERPipeline(spark, TableIO(spark, wh))
+            pipe.run(pages)
+            er_runs.append((
+                round(time.time() - t0, 3),
+                {k: round(v, 3) for k, v in pipe.timings.items()},
+            ))
+    er_sec, stage_sec = sorted(er_runs)[len(er_runs) // 2]  # median
     timings["er_pipeline"] = er_sec
 
     total = round(sum(timings.values()), 3)
@@ -82,6 +110,8 @@ def main() -> None:
                 "er_pipeline_pages": n_pages,
                 "er_docs_per_sec": round(n_pages / er_sec, 1),
                 "er_stage_sec": stage_sec,
+                "er_runs_sec": [r[0] for r in er_runs],
+                "cold_first_run_sec": cold,
             }
         )
     )
