@@ -227,8 +227,12 @@ _GOLD_SPARK_SCHEMA = (
 )
 
 
-def gen_pages_df(spark, n_pages: int, parts: int | None = None):
-    """Distributed pages generator: spark.range -> mapInPandas."""
+def gen_pages_df(spark, n_pages: int, parts: int | None = None, start: int = 0):
+    """Distributed pages generator: spark.range -> mapInPandas.
+
+    ``start`` offsets the page-id range — page ids [start, start+n_pages)
+    — so a test can generate a crawl DELTA disjoint from (and identically
+    distributed to) a base corpus (plans/incremental.py)."""
     adf = alias_table()
     by_ent = _alias_lookup(adf)
     sigs = entity_signatures()
@@ -243,7 +247,11 @@ def gen_pages_df(spark, n_pages: int, parts: int | None = None):
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    rng_df = spark.range(n_pages, numPartitions=parts or min(max(64, n_pages // 2000), 512))
+    rng_df = spark.range(
+        start,
+        start + n_pages,
+        numPartitions=parts or min(max(64, n_pages // 2000), 512),
+    )
     return rng_df.mapInPandas(gen, schema=_PAGES_SPARK_SCHEMA)
 
 

@@ -95,23 +95,42 @@ def lsh_band_keys(mentions: DataFrame, surface_col: str = "surface") -> DataFram
     return stacked
 
 
-def entity_salted_keys(
+def entity_salts(
     candidates: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
+) -> DataFrame:
+    """(entity_id, n_salts) — the per-entity salt modulus, sized from
+    candidate load. This is a FROZEN BLOCKING ARTIFACT once a corpus is
+    clustered: a delta run must salt with the base run's moduli or its
+    mentions land in different buckets than the base mentions of the
+    same entity (plans/incremental.py persists it as ``block_salts``).
+    Broadcast-small: one row per distinct entity."""
+    freq = candidates.groupBy("entity_id").agg(F.count("*").alias("_efreq"))
+    return freq.select(
+        "entity_id",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_efreq") / F.lit(max_block)).cast("int")
+        ).alias("n_salts"),
+    )
+
+
+def entity_salted_keys(
+    candidates: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """(mention_id, block_key) from candidate entities, salted by load.
 
     ``candidates`` = output of mentions.candidate_entities:
-    (mention_id, ..., entity_id, prior).
+    (mention_id, ..., entity_id, prior). ``salts`` overrides the salt
+    moduli (frozen artifact from a previous run — see entity_salts);
+    entities absent from it fall back to a single bucket.
     """
-    freq = candidates.groupBy("entity_id").agg(
-        F.count("*").alias("_efreq")
-    )
-    n_salts = F.greatest(
-        F.lit(1), F.ceil(F.col("_efreq") / F.lit(max_block)).cast("int")
-    )
+    if salts is None:
+        salts = entity_salts(candidates, max_block)
     salted = (
         candidates.select("mention_id", "entity_id")
-        .join(F.broadcast(freq.withColumn("_nsalts", n_salts)), "entity_id")
+        .join(F.broadcast(salts), "entity_id", "left")
+        .withColumn("_nsalts", F.coalesce(F.col("n_salts"), F.lit(1)))
         .withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("mention_id")), F.col("_nsalts"))
         )
@@ -133,6 +152,7 @@ def sized_block_keys(
     candidates: DataFrame,
     max_block: int = DEFAULT_MAX_BLOCK,
     use_lsh: bool = True,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """PRE-cap (mention_id, block_key, _bsize), distinct. Dedup + size
     in one shuffle: window count over the same partitioning the distinct
@@ -140,7 +160,7 @@ def sized_block_keys(
     set)."""
     from pyspark.sql import Window
 
-    keys = entity_salted_keys(candidates, max_block)
+    keys = entity_salted_keys(candidates, max_block, salts=salts)
     if use_lsh:
         keys = keys.unionByName(lsh_band_keys(mentions))
     w = Window.partitionBy("block_key")
@@ -153,6 +173,7 @@ def block_keys(
     max_block: int = DEFAULT_MAX_BLOCK,
     use_lsh: bool = True,
     cap_factor: int = CAP_FACTOR,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """Union of both key families; keys with more than
     ``cap_factor * max_block`` members are dropped (see module docstring
@@ -161,7 +182,7 @@ def block_keys(
     Returns (mention_id, block_key), distinct.
     """
     return (
-        sized_block_keys(mentions, candidates, max_block, use_lsh)
+        sized_block_keys(mentions, candidates, max_block, use_lsh, salts=salts)
         .filter(F.col("_bsize") <= F.lit(max_block * cap_factor))
         .drop("_bsize")
     )

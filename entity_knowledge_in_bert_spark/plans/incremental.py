@@ -1,0 +1,155 @@
+"""Incremental ER — merge a delta of crawled pages into an existing
+clustered warehouse in O(delta), not O(corpus).
+
+The reference pipeline is strictly batch: a new Wikipedia dump means
+re-running preprocessing end-to-end [R: SURVEY.md §3.2]. At the
+north_rule's 10^12-document scale a daily crawl delta is ~0.1% of the
+corpus, so the engine adds the incremental path as a first-class plan:
+
+    delta pages -> extract -> mention (FROZEN model_idf artifact)
+      -> block  (FROZEN block_salts artifact; only blocks the delta
+                 touches are re-paired)
+      -> pairs  (>=1 delta side — old/old connectivity is already in
+                 the cluster table)
+      -> score  (same kernels/thresholds as batch)
+      -> merge_components (re-clusters ONLY touched components)
+
+Every table write is an APPEND snapshot (TableIO includes-chain /
+Iceberg fast-append) except the output cluster table, which is replaced.
+Work scales with |delta| x (avg touched-block size): the corpus-sized
+tables are only ever semi-joined against delta-derived key sets, and the
+CC iterations run on the touched subgraph alone (operators/incremental).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import blocking, encoder, mentions, pairs, scoring
+from ..operators.extract import with_extracted_text
+from ..operators.incremental import merge_components
+from ..sources.tableio import TableIO
+
+
+class IncrementalER:
+    """Delta merge over a warehouse previously built by ERPipeline.run().
+
+    Reuses the batch pipeline's frozen artifacts (model_idf,
+    block_salts) so delta mentions embed and block IDENTICALLY to the
+    base run — the invariant that makes cross(base, delta) pairs
+    discoverable at all.
+    """
+
+    def __init__(self, spark: SparkSession, io: TableIO, max_block: int = 64):
+        self.spark = spark
+        self.io = io
+        self.max_block = max_block
+        self.timings: dict[str, float] = {}
+
+    def _frozen_idf(self) -> dict[str, float]:
+        rows = self.io.read("model_idf").collect()  # bounded: <= max_vocab
+        return {r["tok"]: float(r["idf"]) for r in rows if r["tok"]}
+
+    def merge(self, delta_pages: DataFrame) -> DataFrame:
+        """Fold ``delta_pages`` (NEW urls — re-crawled urls need the
+        retract path, which is out of scope for this plan; the batch
+        pipeline's as-of dedup is the authority on re-crawls) into the
+        warehouse; returns the updated mention-complete cluster table."""
+        t0 = time.time()
+        aliases = datagen.alias_df(self.spark)
+
+        # -- extract (identical kernel to batch; append) ------------------
+        latest = mentions.latest_snapshot(mentions.english_pages(delta_pages))
+        extracted = with_extracted_text(latest).select(
+            "url", "warc_ts", F.col("text_extracted").alias("text"), "lang"
+        )
+        ex_snap = self.io.write(
+            extracted, "stage_extract", stage="extract_delta", append=True
+        )
+        self.timings["extract"] = time.time() - t0
+
+        # -- mention: frozen IDF, append ----------------------------------
+        t0 = time.time()
+        # incremental read: ONLY the files the delta append wrote
+        delta_ex = self.io.read(
+            "stage_extract", ex_snap.snapshot_id, chain=False
+        )
+        m = mentions.detect_mentions(delta_ex, aliases)
+        idf_bc = self.spark.sparkContext.broadcast(self._frozen_idf())
+        embed = encoder.make_encoder_udf(idf_bc)
+        m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
+        m_snap = self.io.write(
+            m, "stage_mention", stage="mention_delta", append=True
+        )
+        self.timings["mention"] = time.time() - t0
+
+        # -- block: frozen salts; pair only touched blocks ----------------
+        t0 = time.time()
+        delta_m = self.io.read("stage_mention", m_snap.snapshot_id, chain=False)
+        delta_ids = delta_m.select("mention_id")
+        cand = mentions.candidate_entities(delta_m, aliases)
+        base_salts = self.io.read("block_salts")
+        # new entities (absent from the frozen artifact) get delta-sized
+        # moduli; append them so the NEXT delta freezes these too
+        new_salts = blocking.entity_salts(cand, self.max_block).join(
+            base_salts.select("entity_id"), "entity_id", "anti"
+        )
+        self.io.write(new_salts, "block_salts", stage="block_salts_delta",
+                      append=True)
+        salts = self.io.read("block_salts")
+        delta_keys = blocking.block_keys(
+            delta_m, cand, max_block=self.max_block, salts=salts
+        )
+        self.io.write(delta_keys, "stage_block", stage="block_delta",
+                      append=True)
+        # touched blocks: base keys sharing a block_key with the delta —
+        # the ONLY corpus-sized join in the whole merge, and it's a semi
+        # join on a delta-derived key set
+        all_keys = self.io.read("stage_block")
+        touched_keys = all_keys.join(
+            delta_keys.select("block_key").distinct(), "block_key", "semi"
+        )
+        self.timings["block"] = time.time() - t0
+
+        # -- pairs: within touched blocks, >=1 delta side -----------------
+        t0 = time.time()
+        p = pairs.within_block_pairs(touched_keys)
+        has_delta_a = p.join(
+            delta_ids.withColumnRenamed("mention_id", "mention_a"),
+            "mention_a", "semi",
+        )
+        has_delta_b = p.join(
+            delta_ids.withColumnRenamed("mention_id", "mention_b"),
+            "mention_b", "semi",
+        )
+        new_pairs = has_delta_a.unionByName(has_delta_b).distinct()
+        self.timings["pairs"] = time.time() - t0
+
+        # -- score: same kernels/thresholds as batch ----------------------
+        t0 = time.time()
+        all_m = self.io.read("stage_mention")
+        feat = pairs.attach_features(new_pairs, all_m)
+        scored = scoring.score_pairs(feat, aliases)
+        edges = scoring.match_edges(scored)
+        self.io.write(edges, "stage_score", stage="score_delta", append=True)
+        self.timings["score"] = time.time() - t0
+
+        # -- cluster: merge only touched components -----------------------
+        t0 = time.time()
+        old = self.io.read("stage_cluster").select("mention_id", "cluster_id")
+        merged = merge_components(old, edges)
+        # isolated delta mentions -> singleton clusters (same convention
+        # as the batch stage_cluster)
+        singles = (
+            delta_ids.join(merged.select("mention_id"), "mention_id", "anti")
+            .withColumn("cluster_id", F.col("mention_id"))
+        )
+        clusters = merged.unionByName(singles)
+        self.io.write(clusters, "stage_cluster", stage="cluster_merge",
+                      inputs=[self.io.latest_snapshot("stage_score")])
+        self.timings["cluster"] = time.time() - t0
+        return self.io.read("stage_cluster")

@@ -51,12 +51,28 @@ class ERPipeline:
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
         self.io.write(m, "stage_mention", stage="mention",
                       inputs=[self.io.latest_snapshot("stage_extract")])
+        # persist the frozen encoder artifact: delta runs must embed with
+        # the BASE corpus's IDF or their vectors drift vs stored ones
+        # (plans/incremental.py reads this back). Bounded table —
+        # compute_idf caps the vocabulary.
+        idf_df = self.spark.createDataFrame(
+            list(idf.items()) or [("", 0.0)], "tok string, idf double"
+        )
+        self.io.write(idf_df, "model_idf", stage="model_idf")
 
     def stage_block(self) -> None:
         m = self.io.read("stage_mention")
         aliases = datagen.alias_df(self.spark)
         cand = mentions.candidate_entities(m, aliases)
-        keys = blocking.block_keys(m, cand, max_block=self.max_block)
+        # persist the frozen salt moduli (blocking artifact): delta
+        # mentions must salt with the base moduli to land in the same
+        # buckets as base mentions of the same entity.
+        salts = blocking.entity_salts(cand, self.max_block)
+        self.io.write(salts, "block_salts", stage="block_salts")
+        keys = blocking.block_keys(
+            m, cand, max_block=self.max_block,
+            salts=self.io.read("block_salts"),
+        )
         self.io.write(keys, "stage_block", stage="block",
                       inputs=[self.io.latest_snapshot("stage_mention")])
 

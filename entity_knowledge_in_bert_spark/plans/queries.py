@@ -698,8 +698,10 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sigs)
 
 
-@q(
-    "cc_lsh_clusters",
+# Transitive closure over the MinHash-LSH edges of the dup-injected
+# corpus: shared by cc_lsh_clusters (batch CC) and incr_cc_merge
+# (incremental CC) — both must produce exactly this partition.
+_CC_CLOSURE_SQL = (
     f"WITH RECURSIVE {_CORPUS_CTE}, {_SHINGLE_CTE}, "
     """
 mh AS (
@@ -727,8 +729,11 @@ reach(node, root) AS (
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
 SELECT node AS doc_id, MIN(root) AS cluster_id
 FROM reach GROUP BY node
-""",
+"""
 )
+
+
+@q("cc_lsh_clusters", _CC_CLOSURE_SQL)
 def cc_lsh_clusters(spark, sf_dir):
     """CC1 + CC2 value check (VERDICT r1 #5): the engine's
     large-star/small-star connected components + min-id canonicalization
@@ -737,6 +742,12 @@ def cc_lsh_clusters(spark, sf_dir):
     Docs divisible by both 7 and 11 chain {doc, doc+1M, doc+2M} into
     3-node components, so transitivity (not just pairhood) is exercised."""
     from ..operators.cluster import connected_components
+
+    comp = connected_components(_lsh_edges(spark, sf_dir))
+    return comp.select(F.col("mention_id").alias("doc_id"), "cluster_id")
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -745,11 +756,28 @@ def cc_lsh_clusters(spark, sf_dir):
 
     corpus = _dup_corpus(spark, sf_dir)
     sigs = minhash_signatures(word_shingles(corpus))
-    edges = lsh_candidate_pairs(sigs).select(
+    return lsh_candidate_pairs(sigs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    comp = connected_components(edges)
-    return comp.select(F.col("mention_id").alias("doc_id"), "cluster_id")
+
+
+@q("incr_cc_merge", _CC_CLOSURE_SQL)
+def incr_cc_merge(spark, sf_dir):
+    """Incremental clustering value check: split the LSH edge set into a
+    deterministic base (~2/3) and delta (~1/3), batch-cluster the base,
+    then fold the delta in with ``merge_components``. The oracle is the
+    SAME transitive closure over ALL edges as cc_lsh_clusters — the
+    merge must reproduce the full-batch partition exactly, including
+    cross-cluster merges caused by delta edges and nodes that only
+    appear in the delta."""
+    from ..operators.cluster import connected_components
+    from ..operators.incremental import merge_components
+
+    edges = _lsh_edges(spark, sf_dir)
+    is_delta = (F.col("src") + F.col("dst")) % 3 == 0
+    old = connected_components(edges.filter(~is_delta))
+    merged = merge_components(old, edges.filter(is_delta))
+    return merged.select(F.col("mention_id").alias("doc_id"), "cluster_id")
 
 
 @q(

@@ -97,21 +97,33 @@ class TableIO:
         run_id: str | None = None,
         inputs: list | None = None,
         partition_by: list[str] | None = None,
+        append: bool = False,
     ) -> SnapshotInfo:
         """Write df as a NEW snapshot of `table` (create-or-replace
         semantics on read: latest snapshot wins). Appends per-partition
-        lineage rows."""
+        lineage rows.
+
+        ``append=True`` writes ONLY ``df``'s rows and records the prior
+        snapshot in the new snapshot's ``includes`` chain — the Iceberg
+        fast-append shape: no old data files are rewritten, and a read of
+        the new snapshot unions the chain. This is what makes the
+        incremental path (plans/incremental.py) write O(delta), not
+        O(corpus)."""
         import pyarrow.parquet as pq
 
         manifest = self._load_manifest(table)
+        prior = self.latest_snapshot(table) if append else None
         if self.catalog:
-            # Iceberg storage: REPLACE keeps snapshot lineage in table
-            # metadata, so time travel by the recorded snapshot id works.
+            # Iceberg storage: REPLACE/APPEND keeps snapshot lineage in
+            # table metadata, so time travel by the recorded id works.
             ident = self._ident(table)
             w = df.writeTo(ident).using("iceberg")
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.createOrReplace()
+            if append and prior is not None:
+                w.append()
+            else:
+                w.createOrReplace()
             snap_id = str(
                 self.spark.sql(
                     f"SELECT snapshot_id FROM {ident}.snapshots "
@@ -159,6 +171,10 @@ class TableIO:
             "schema": df.schema.simpleString(),
             "complete": True,
         }
+        if prior is not None and not self.catalog:
+            # parquet backend: record the append chain; Iceberg tracks
+            # this in its own snapshot metadata.
+            entry["includes"] = [prior]
         manifest["snapshots"].append(entry)
         self._save_manifest(table, manifest)
 
@@ -197,17 +213,49 @@ class TableIO:
     def exists(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None
 
-    def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
+    def read(
+        self, table: str, snapshot_id: str | None = None, chain: bool = True
+    ) -> DataFrame:
+        """Read a snapshot. ``chain=False`` reads ONLY the files the
+        snapshot itself wrote (the delta of an append) — the Iceberg
+        incremental-read shape the delta pipeline uses to avoid scanning
+        the corpus chain."""
         snap = snapshot_id or self.latest_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"table {table} has no complete snapshot")
         if self.catalog:
+            if not chain:
+                # Iceberg incremental read: files appended between the
+                # parent snapshot (exclusive) and this one (inclusive)
+                snaps = [
+                    s["snapshot_id"]
+                    for s in self._load_manifest(table)["snapshots"]
+                ]
+                idx = snaps.index(snap)
+                r = self.spark.read.format("iceberg").option(
+                    "end-snapshot-id", snap
+                )
+                if idx > 0:
+                    r = r.option("start-snapshot-id", snaps[idx - 1])
+                return r.load(self._ident(table))
             return (
                 self.spark.read.format("iceberg")
                 .option("snapshot-id", snap)
                 .load(self._ident(table))
             )
-        return self.spark.read.parquet(os.path.join(self.warehouse, table, snap))
+        # resolve the append chain: a snapshot's data = its own files
+        # plus everything its `includes` ancestry wrote (Iceberg manifest
+        # -list semantics on the parquet backend)
+        by_id = {
+            s["snapshot_id"]: s for s in self._load_manifest(table)["snapshots"]
+        }
+        paths, todo = [], [snap]
+        while todo:
+            s = todo.pop()
+            paths.append(os.path.join(self.warehouse, table, s))
+            if chain:
+                todo.extend(by_id.get(s, {}).get("includes", []))
+        return self.spark.read.parquet(*paths)
 
     def read_lineage(self) -> DataFrame:
         return self.spark.read.parquet(
