@@ -25,10 +25,25 @@ STAGES = ["extract", "mention", "block", "pairs", "score", "cluster"]
 
 
 class ERPipeline:
-    def __init__(self, spark: SparkSession, io: TableIO, max_block: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        io: TableIO,
+        max_block: int = 64,
+        bucket_mentions: int | None = None,
+    ):
+        """``bucket_mentions``: write stage_mention hash-bucketed on
+        mention_id into this many buckets (TableIO bucket_by). The pair
+        and score stages join mentions on mention_id twice
+        (pairs.attach_features) — with a bucketed layout those joins
+        read straight into sort-merge joins with no exchange on the
+        corpus-sized side. Off by default in the sandbox (bucket count
+        is a cluster-sizing decision: ~corpus_bytes / 1 GB at 100 TB);
+        exercised by tests/test_pipeline.py."""
         self.spark = spark
         self.io = io
         self.max_block = max_block
+        self.bucket_mentions = bucket_mentions
         self.timings: dict[str, float] = {}
 
     # each stage: read prev snapshot -> transform -> write snapshot
@@ -49,8 +64,14 @@ class ERPipeline:
         idf_bc = self.spark.sparkContext.broadcast(idf)
         embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
+        bucket = (
+            (["mention_id"], self.bucket_mentions)
+            if self.bucket_mentions
+            else None
+        )
         self.io.write(m, "stage_mention", stage="mention",
-                      inputs=[self.io.latest_snapshot("stage_extract")])
+                      inputs=[self.io.latest_snapshot("stage_extract")],
+                      bucket_by=bucket)
         # persist the frozen encoder artifact: delta runs must embed with
         # the BASE corpus's IDF or their vectors drift vs stored ones
         # (plans/incremental.py reads this back). Bounded table —

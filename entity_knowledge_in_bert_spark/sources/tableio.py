@@ -98,6 +98,7 @@ class TableIO:
         inputs: list | None = None,
         partition_by: list[str] | None = None,
         append: bool = False,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> SnapshotInfo:
         """Write df as a NEW snapshot of `table` (create-or-replace
         semantics on read: latest snapshot wins). Appends per-partition
@@ -108,7 +109,20 @@ class TableIO:
         fast-append shape: no old data files are rewritten, and a read of
         the new snapshot unions the chain. This is what makes the
         incremental path (plans/incremental.py) write O(delta), not
-        O(corpus)."""
+        O(corpus).
+
+        ``bucket_by=([cols], n)`` writes the snapshot as a BUCKETED table
+        (hash-clustered on cols into n buckets, sorted within buckets).
+        A later equi-join on the bucket columns reads the layout straight
+        into a sort-merge join with NO exchange and no sort on this side
+        — at 100 TB that deletes a full-corpus shuffle per consumer
+        (e.g. stage_mention is joined on mention_id twice by
+        attach_features). Catalog-table write; on the in-memory catalog
+        the bucketing spec lives for the session and the parquet files
+        remain readable forever (a Hive/Iceberg catalog persists the
+        spec). Mutually exclusive with append/partition_by."""
+        if bucket_by is not None and (append or partition_by):
+            raise ValueError("bucket_by excludes append/partition_by")
         import pyarrow.parquet as pq
 
         manifest = self._load_manifest(table)
@@ -120,6 +134,11 @@ class TableIO:
             w = df.writeTo(ident).using("iceberg")
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if bucket_by:
+                cols, n = bucket_by
+                # Iceberg bucket partition transform — same co-located
+                # join layout the parquet backend gets via bucketBy
+                w = w.partitionedBy(F.bucket(n, cols[0]))
             if append and prior is not None:
                 w.append()
             else:
@@ -144,10 +163,21 @@ class TableIO:
                 f"snap-{len(manifest['snapshots']):04d}-{uuid.uuid4().hex[:8]}"
             )
             path = os.path.join(self.warehouse, table, snap_id)
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(path)
+            if bucket_by:
+                cols, n = bucket_by
+                bucket_table = f"{table}_{snap_id}".replace("-", "_")
+                (
+                    df.write.mode("overwrite")
+                    .bucketBy(n, *cols)
+                    .sortBy(*cols)
+                    .option("path", path)
+                    .saveAsTable(bucket_table)
+                )
+            else:
+                writer = df.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(path)
 
             # ZERO extra Spark jobs: every task of the write job produced
             # one parquet file, so per-partition row counts come straight
@@ -175,6 +205,9 @@ class TableIO:
             # parquet backend: record the append chain; Iceberg tracks
             # this in its own snapshot metadata.
             entry["includes"] = [prior]
+        if bucket_by is not None and not self.catalog:
+            entry["bucket_table"] = f"{table}_{snap_id}".replace("-", "_")
+            entry["bucket_by"] = [list(bucket_by[0]), bucket_by[1]]
         manifest["snapshots"].append(entry)
         self._save_manifest(table, manifest)
 
@@ -243,12 +276,19 @@ class TableIO:
                 .option("snapshot-id", snap)
                 .load(self._ident(table))
             )
-        # resolve the append chain: a snapshot's data = its own files
-        # plus everything its `includes` ancestry wrote (Iceberg manifest
-        # -list semantics on the parquet backend)
         by_id = {
             s["snapshot_id"]: s for s in self._load_manifest(table)["snapshots"]
         }
+        # bucketed snapshot: read through the catalog so the bucketing
+        # spec reaches the planner (exchange-free joins on the bucket
+        # cols). Fallback to the raw parquet files when the in-memory
+        # catalog of the writing session is gone.
+        bt = by_id.get(snap, {}).get("bucket_table")
+        if bt is not None and self.spark.catalog.tableExists(bt):
+            return self.spark.table(bt)
+        # resolve the append chain: a snapshot's data = its own files
+        # plus everything its `includes` ancestry wrote (Iceberg manifest
+        # -list semantics on the parquet backend)
         paths, todo = [], [snap]
         while todo:
             s = todo.pop()

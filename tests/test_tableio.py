@@ -48,3 +48,44 @@ def test_exists(spark, io):
     assert not io.exists("t5")
     io.write(spark.range(1), "t5")
     assert io.exists("t5")
+
+
+def test_append_chain(spark, io):
+    io.write(spark.range(10), "t6", stage="s1")
+    io.write(spark.range(10, 15), "t6", stage="s1", append=True)
+    assert io.read("t6").count() == 15
+    # delta-only read of the append snapshot
+    assert io.read("t6", io.latest_snapshot("t6"), chain=False).count() == 5
+    # second append chains through the first
+    io.write(spark.range(15, 18), "t6", stage="s1", append=True)
+    assert io.read("t6").count() == 18
+
+
+def test_bucketed_join_has_no_exchange(spark, io):
+    """bucket_by snapshots: an equi-join on the bucket column planned as
+    a sort-merge join needs NO exchange and NO sort on either side —
+    the co-located-join layout that deletes a full-corpus shuffle per
+    consumer at 100 TB."""
+    left = spark.range(1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(1000).withColumn("w", F.col("id") + 1)
+    io.write(left, "bl", bucket_by=(["id"], 4))
+    io.write(right, "br", bucket_by=(["id"], 4))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = io.read("bl").join(io.read("br"), "id")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_snapshot_readable_without_catalog(spark, io, tmp_path):
+    """The parquet files behind a bucketed snapshot stay readable when
+    the writing session's in-memory catalog is gone."""
+    io.write(spark.range(50).withColumn("v", F.lit(1)), "bc", bucket_by=(["id"], 2))
+    man = io._load_manifest("bc")
+    bt = man["snapshots"][-1]["bucket_table"]
+    spark.sql(f"DROP TABLE {bt}")
+    assert io.read("bc").count() == 50
