@@ -1,0 +1,70 @@
+"""Streaming crawl ingest -> incremental ER: foreachBatch folds each
+micro-batch into the warehouse; result must equal the same batches merged
+manually (the streaming layer adds delivery, not semantics)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_knowledge_in_bert_spark import datagen
+from entity_knowledge_in_bert_spark.plans.incremental import IncrementalER
+from entity_knowledge_in_bert_spark.plans.pipeline import ERPipeline
+from entity_knowledge_in_bert_spark.sources.tableio import TableIO
+from entity_knowledge_in_bert_spark.streaming.ingest import (
+    stream_incremental_er,
+)
+
+N_BASE, N_D1, N_D2 = 300, 60, 60
+
+
+@pytest.fixture(scope="module")
+def warehouses(spark, tmp_path_factory):
+    """One base build, copied: wh_stream gets the streaming merges,
+    wh_manual the same two batches via direct merge() calls."""
+    base_wh = str(tmp_path_factory.mktemp("wh_base"))
+    ERPipeline(spark, TableIO(spark, base_wh)).run(
+        datagen.gen_pages_df(spark, N_BASE)
+    )
+    wh_stream = str(tmp_path_factory.mktemp("whs")) + "/wh"
+    wh_manual = str(tmp_path_factory.mktemp("whm")) + "/wh"
+    shutil.copytree(base_wh, wh_stream)
+    shutil.copytree(base_wh, wh_manual)
+
+    # bronze landing dir: two single-file deltas = two micro-batches
+    bronze = str(tmp_path_factory.mktemp("bronze"))
+    d1 = datagen.gen_pages_df(spark, N_D1, start=N_BASE)
+    d2 = datagen.gen_pages_df(spark, N_D2, start=N_BASE + N_D1)
+    d1.coalesce(1).write.mode("append").parquet(bronze)
+    d2.coalesce(1).write.mode("append").parquet(bronze)
+    return spark, wh_stream, wh_manual, bronze, d1, d2
+
+
+def _cluster_set(df):
+    return {(r["mention_id"], r["cluster_id"]) for r in df.collect()}
+
+
+def test_stream_merge_equals_manual_merges(warehouses):
+    spark, wh_stream, wh_manual, bronze, d1, d2 = warehouses
+    io_s = TableIO(spark, wh_stream)
+    streamed = stream_incremental_er(spark, io_s, bronze)
+
+    io_m = TableIO(spark, wh_manual)
+    IncrementalER(spark, io_m).merge(d1)
+    manual = IncrementalER(spark, io_m).merge(d2)
+
+    assert _cluster_set(streamed) == _cluster_set(manual)
+
+
+def test_stream_covers_all_batches(warehouses):
+    spark, wh_stream, _, _, _, _ = warehouses
+    io_s = TableIO(spark, wh_stream)
+    urls = (
+        io_s.read("stage_extract").select("url").distinct().count()
+    )
+    # every page produced at least its url row (en-only filter may drop
+    # some), and both deltas landed
+    lineage = io_s.read_lineage()
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert "extract_delta" in stages and "cluster_merge" in stages
+    assert urls > 0
