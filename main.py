@@ -3,8 +3,9 @@
 
 Usage:
   spark-submit --py-files er_pipeline.zip main.py \
-      --stage all|extract|mention|block|pairs|score|cluster \
-      --warehouse /path/wh [--n-pages 4000] [--from-stage extract]
+      --stage all|extract|mention|block|pairs|score|cluster|merge-delta \
+      --warehouse /path/wh [--n-pages 4000] [--from-stage extract] \
+      [--delta-start 4000]   # merge-delta: fold new pages incrementally
 
   python main.py --stage all --n-pages 1000 --warehouse /tmp/wh   # local
 
@@ -42,7 +43,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["all", "extract", "mention", "block", "pairs",
-                             "score", "cluster"])
+                             "score", "cluster", "merge-delta"])
+    ap.add_argument("--delta-start", type=int, default=None,
+                    help="with --stage merge-delta: first page id of the "
+                         "delta (pages [start, start+n_pages) are folded "
+                         "into the existing --warehouse incrementally)")
     ap.add_argument("--from-stage", default=None,
                     help="with --stage all: resume from this stage")
     ap.add_argument("--warehouse", default="/tmp/er_warehouse")
@@ -66,7 +71,17 @@ def main() -> None:
     pipe = ERPipeline(spark, io, max_block=args.max_block)
 
     t0 = time.time()
-    if args.stage == "all":
+    if args.stage == "merge-delta":
+        from entity_knowledge_in_bert_spark.plans.incremental import (
+            IncrementalER,
+        )
+
+        start = args.delta_start if args.delta_start is not None else args.n_pages
+        delta = datagen.gen_pages_df(spark, args.n_pages, start=start)
+        inc = IncrementalER(spark, io, max_block=args.max_block)
+        out = inc.merge(delta)
+        pipe = inc  # stage_sec reporting below reads .timings
+    elif args.stage == "all":
         pages = datagen.gen_pages_df(spark, args.n_pages)
         from_stage = args.from_stage or "extract"
         out = pipe.run(pages, from_stage=from_stage)
@@ -83,7 +98,11 @@ def main() -> None:
         "stage": args.stage,
         "rows_out": out.count(),
         "wall_sec": round(wall, 2),
-        "docs_per_sec": round(args.n_pages / wall, 1) if args.stage == "all" else None,
+        "docs_per_sec": (
+            round(args.n_pages / wall, 1)
+            if args.stage in ("all", "merge-delta")
+            else None
+        ),
         "stage_sec": {k: round(v, 2) for k, v in pipe.timings.items()},
         "warehouse": args.warehouse,
     }))
