@@ -1420,6 +1420,31 @@ def er_pipeline_clusters(spark, sf_dir):
     return cluster_size_histogram(clusters)
 
 
+@q("er_incremental_clusters", None)
+def er_incremental_clusters(spark, sf_dir):
+    """Rows-only driver surface for the O(delta) incremental plan
+    (plans/incremental.py): batch-build 2/3 of the corpus, fold the last
+    1/3 in with IncrementalER.merge, return the cluster-size histogram of
+    the merged table. Exactness of the merge itself is value-checked by
+    the incr_cc_merge oracle + tests/test_incremental.py."""
+    import tempfile
+
+    from .. import datagen
+    from ..operators.cluster import cluster_size_histogram
+    from ..sources.tableio import TableIO
+    from .incremental import IncrementalER
+    from .pipeline import ERPipeline
+
+    n = _er_scale(sf_dir)
+    n_base = (2 * n) // 3
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_incr_q_"))
+    ERPipeline(spark, io).run(datagen.gen_pages_df(spark, n_base))
+    merged = IncrementalER(spark, io).merge(
+        datagen.gen_pages_df(spark, n - n_base, start=n_base)
+    )
+    return cluster_size_histogram(merged)
+
+
 @q("er_block_size_histogram", None)
 def er_block_size_histogram(spark, sf_dir):
     """J5/A7 audit — PRE-cap block-size histogram with the oversized-key
