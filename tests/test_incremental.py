@@ -154,3 +154,17 @@ def test_merge_equals_batch_random_splits(spark, mod):
     merged = merge_components(old, df.filter(is_delta))
     batch = connected_components(df)
     assert _clusters(merged) == _clusters(batch)
+
+
+def test_empty_delta_merge_is_identity(spark, incr_run):
+    """A crawl batch with nothing to add (e.g. all non-English) must be a
+    clean no-op: same cluster table, no failures on empty stages."""
+    from entity_knowledge_in_bert_spark import datagen
+    from entity_knowledge_in_bert_spark.plans.incremental import IncrementalER
+
+    io, _, merged, _ = incr_run
+    before = _clusters(io.read("stage_cluster"))
+    out = IncrementalER(spark, io).merge(
+        datagen.gen_pages_df(spark, 1, start=10_000_000).filter("lang = 'xx'")
+    )
+    assert _clusters(out) == before
