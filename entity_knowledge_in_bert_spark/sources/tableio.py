@@ -181,16 +181,25 @@ class TableIO:
 
             # ZERO extra Spark jobs: every task of the write job produced
             # one parquet file, so per-partition row counts come straight
-            # from the file footers (pyarrow metadata, driver-side, ms).
+            # from the file footers (pyarrow metadata, driver-side).
+            # Footer reads are IO-bound and independent — a thread pool
+            # keeps this stage barrier flat in file count (hundreds of
+            # files per snapshot at bench scale; sequential reads were a
+            # measurable slice of the pipeline's serial cost).
+            from concurrent.futures import ThreadPoolExecutor
+
             files = sorted(
                 os.path.join(dp, f)
                 for dp, _dirs, fs in os.walk(path)
                 for f in fs
                 if f.endswith(".parquet")
             )
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                counts = list(
+                    pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
+                )
             part_counts = [
-                {"partition_id": i, "rows_out": pq.ParquetFile(f).metadata.num_rows}
-                for i, f in enumerate(files)
+                {"partition_id": i, "rows_out": n} for i, n in enumerate(counts)
             ]
         rows = int(sum(r["rows_out"] for r in part_counts))
         entry = {
