@@ -1159,6 +1159,34 @@ def stream_dedup_count(spark, sf_dir):
 
 
 @q(
+    "stream_stateful_profile",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "CAST(COUNT(DISTINCT event_type) AS INT) AS n_types, "
+    "epoch_us(MAX(ts)) AS max_ts_us FROM events GROUP BY user_id",
+)
+def stream_stateful_profile(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    per-user running profile's Update-mode emission log, reduced by max
+    (all measures monotone) to the final profile, value-checked against
+    the plain batch aggregate."""
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_stream_to_table,
+        stateful_user_profile,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    log = run_stream_to_table(
+        spark, stateful_user_profile(stream), output_mode="update"
+    )
+    return log.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.max("max_ts_us").alias("max_ts_us"),
+    )
+
+
+@q(
     "session_windows",
     """
 WITH flagged AS (

@@ -76,6 +76,54 @@ def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def stateful_user_profile(events: DataFrame) -> DataFrame:
+    """T5+ — CUSTOM stateful streaming operator via applyInPandasWithState:
+    a running per-user profile (event count, distinct event-type count,
+    latest event time) whose state — the distinct-type SET — no built-in
+    streaming aggregation can carry.
+
+    Emits the running profile in Update mode after every micro-batch a
+    user appears in. Every emitted measure is MONOTONE non-decreasing
+    (count, set size, max), so ``max`` per user over the emission log
+    equals the final profile REGARDLESS of how the source was split into
+    micro-batches — that's the reduction ``stream_stateful_profile``
+    applies before the batch-SQL oracle compares values.
+
+    Arrow-batched like every other Python kernel here (the state rows and
+    group rows cross the boundary as Arrow batches, not pickled rows).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, types, max_us = state.get
+            seen = set(types)
+        else:
+            n, seen, max_us = 0, set(), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            seen.update(pdf["event_type"].tolist())
+            max_us = max(max_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, sorted(seen), max_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_types": [len(seen)],
+                "max_ts_us": [max_us],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, n_types int, max_ts_us long",
+        stateStructType="n long, types array<string>, max_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession, stream_df: DataFrame, output_mode: str = "append"
 ) -> DataFrame:

@@ -43,6 +43,51 @@ def test_stateful_dedup_drops_duplicate_file(spark, sf_dir, tmp_path):
     assert deduped.count() == n_unique
 
 
+def test_stateful_profile_carries_state_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: two source files -> two micro-batches; the
+    per-user state (count + distinct-type set + max ts) must accumulate
+    ACROSS batches, so the max-reduced emission log equals the batch
+    aggregate over the doubled corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "profile_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    stream = ingest.read_events_stream(spark, str(d))
+    log = ingest.run_stream_to_table(
+        spark, ingest.stateful_user_profile(stream), output_mode="update"
+    )
+    got = log.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.max("max_ts_us").alias("max_ts_us"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        ev.unionAll(ev)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").cast("int").alias("n_types"),
+            # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # state really crossed batches: counts are the DOUBLED corpus counts
+    single = ev.groupBy("user_id").count()
+    doubled_ok = (
+        got.join(single, "user_id")
+        .filter(F.col("n_events") != 2 * F.col("count"))
+        .count()
+    )
+    assert doubled_ok == 0
+
+
 def test_sliding_windows_run(spark, sf_dir):
     stream = ingest.read_events_stream(spark, f"{sf_dir}/events.parquet")
     got = ingest.run_stream_to_table(
