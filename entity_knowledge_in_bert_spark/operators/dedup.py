@@ -252,6 +252,41 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def near_dup_keep_list(
+    corpus: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """The end-to-end near-dup decision a training-data pipeline ships:
+    (doc_id, cluster_id, keep) for EVERY corpus doc.
+
+    Composition: MinHash-LSH candidates (never all-pairs) -> exact
+    n-gram-Jaccard verification on candidates only -> verified edges ->
+    connected components -> keep the min doc_id of each dup component
+    (singletons keep themselves).
+
+    Scale shape: shingle+minhash are narrow maps, the LSH bucket join and
+    the candidate-restricted Jaccard join shuffle on bounded keys, and CC
+    runs over the verified-edge table, which is orders of magnitude
+    smaller than the corpus.
+    """
+    from .cluster import connected_components
+
+    sh = word_shingles(corpus)
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sigs)
+    verified = ngram_jaccard(sh, sh, cands).filter(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(
+        verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("mention_id").alias("doc_id"), "cluster_id")
+    return (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, block_col: str = "label"
 ) -> DataFrame:

@@ -780,6 +780,64 @@ def incr_cc_merge(spark, sf_dir):
     return merged.select(F.col("mention_id").alias("doc_id"), "cluster_id")
 
 
+_KEEP_LIST_SQL = (
+    f"WITH RECURSIVE {_CORPUS_CTE}, {_SHINGLE_CTE}, "
+    """
+mh AS (
+  SELECT doc_id, i,
+         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles CROSS JOIN range(8) r(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 2 AS band_id,
+         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
+  FROM mh GROUP BY doc_id, i // 2),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM lsh_pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b),
+e0 AS (
+  SELECT p.doc_a AS src, p.doc_b AS dst
+  FROM lsh_pairs p
+  LEFT JOIN inter USING (doc_a, doc_b)
+  JOIN sizes za ON za.doc_id = p.doc_a
+  JOIN sizes zb ON zb.doc_id = p.doc_b
+  WHERE floor(COALESCE(n_inter, 0)::DOUBLE /
+              (za.n + zb.n - COALESCE(n_inter, 0)) * 10000 + 0.5) / 10000
+        >= 0.5),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, MIN(root) AS cluster_id,
+       node = MIN(root) AS keep
+FROM reach GROUP BY node
+"""
+)
+
+
+@q("dedup_keep_list", _KEEP_LIST_SQL)
+def dedup_keep_list(spark, sf_dir):
+    """The composed near-dup DECISION operator (what a 100 TB text
+    pipeline actually ships): LSH candidates -> exact Jaccard >= 0.5
+    verification on candidates only -> connected components over verified
+    edges -> (doc_id, cluster_id, keep) for every corpus doc, keeper =
+    component min. Oracle reproduces the whole path incl. the recursive
+    transitive closure."""
+    from ..operators.dedup import near_dup_keep_list
+
+    return near_dup_keep_list(_dup_corpus(spark, sf_dir), threshold=0.5)
+
+
 @q(
     "dedup_ngram_jaccard",
     f"WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, "

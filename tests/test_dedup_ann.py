@@ -172,3 +172,37 @@ def test_multimodal_plumbing(spark, sf_dir):
         meta, "asset_id"
     )
     assert j.filter(F.col("sha2") != F.col("payload_sha")).count() == 0
+
+
+def test_keep_list_drops_exact_copies_keeps_originals(spark, sf_dir):
+    """near_dup_keep_list: every doc gets a row; injected exact copies
+    (id+1M) are dropped in favor of the original (component min); docs
+    with no near-dup keep themselves as singletons."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(copies)
+    kl = dedup.near_dup_keep_list(corpus, threshold=0.5).cache()
+    assert kl.count() == corpus.count()  # total function of the corpus
+    # every exact copy is dropped (its original has the smaller id) and
+    # lands in the SAME cluster as its original (which may itself sit in
+    # a larger near-dup component with an even smaller representative)
+    assert kl.filter((F.col("doc_id") >= 1000000) & F.col("keep")).count() == 0
+    orig = kl.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("cluster_id").alias("orig_cluster"),
+    )
+    mismatched = (
+        kl.filter(F.col("doc_id") >= 1000000)
+        .join(orig, "doc_id")
+        .filter(F.col("cluster_id") != F.col("orig_cluster"))
+        .count()
+    )
+    assert mismatched == 0
+    # keepers are exactly the cluster representatives
+    assert (
+        kl.filter(F.col("keep") != (F.col("doc_id") == F.col("cluster_id"))).count()
+        == 0
+    )
+    kl.unpersist()
