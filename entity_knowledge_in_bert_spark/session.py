@@ -35,10 +35,13 @@ def get_spark(app: str = "er-engine", master: str | None = None) -> SparkSession
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = SparkSession.builder.appName(app).master(master)
     # JVM-startup-only confs (ignored on an already-running session):
-    # local-mode driver == all executors, so size the heap for 32
-    # concurrent tasks (default 1g OOMs under shuffle+checkpoint load).
+    # local-mode driver == all executors, so the heap must be sized for
+    # the CONCURRENT-TASK shuffle working set, exactly like executor
+    # memory on a real cluster scales with data volume per core.
+    # Measured (BASELINE.md r2): at 1.2M pages the 24g heap GC-throttled
+    # local[8] to 1904 docs/s; 48g restored 2799 docs/s (-32% wall).
     b = b.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     )
     b = b.config("spark.driver.maxResultSize", "4g")
     for k, v in ENGINE_CONFS.items():
