@@ -11,7 +11,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR    parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS      local[N] (default 32)
   SPARK_GRAFT_BENCH_PAGES  synthetic corpus size for the pipeline bench
-  SPARK_GRAFT_BENCH_RUNS   timed pipeline runs, median reported (default 3)
+  SPARK_GRAFT_BENCH_RUNS   timed pipeline runs, median reported (default 5)
 """
 
 from __future__ import annotations
@@ -83,7 +83,7 @@ def main() -> None:
             datagen.gen_pages_df(spark, n_pages)
         )
         cold["er_pipeline_warmup"] = round(time.time() - t0, 3)
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     er_runs: list[tuple[float, dict[str, float]]] = []
     for _ in range(n_runs):
         t0 = time.time()
@@ -95,7 +95,9 @@ def main() -> None:
                 round(time.time() - t0, 3),
                 {k: round(v, 3) for k, v in pipe.timings.items()},
             ))
-    er_sec, stage_sec = sorted(er_runs)[len(er_runs) // 2]  # median
+    # median by wall time only — tied floats must not fall through to
+    # comparing the stage dicts (TypeError)
+    er_sec, stage_sec = sorted(er_runs, key=lambda r: r[0])[len(er_runs) // 2]
     timings["er_pipeline"] = er_sec
 
     total = round(sum(timings.values()), 3)

@@ -98,16 +98,22 @@ def make_gated_string_sim(gate: float):
     def gated_string_sim(
         a: pd.Series, b: pd.Series, lev_r: pd.Series
     ) -> pd.Series:
-        out = np.empty(len(a), dtype="float64")
-        for i, (x, y, lr) in enumerate(zip(a, b, lev_r)):
-            if x is None or y is None:
-                out[i] = np.nan
-            elif x == y and len(x) > 0:
-                out[i] = 1.0  # jw == lev_ratio == 1 for identical strings
-            elif lr < gate:
-                out[i] = lr  # kernel can't flip the decision here
-            else:
-                out[i] = (jaro_winkler_py(x, y) + lr) / 2.0
+        # Vectorized tier masks; the Python JW kernel only runs on the
+        # survivor indices (typically a small fraction of ER pairs).
+        null = (a.isna() | b.isna()).to_numpy()
+        lr_np = lev_r.to_numpy(dtype="float64", na_value=np.nan)
+        ident = (
+            ((a == b) & (a.str.len() > 0)).fillna(False).to_numpy(dtype=bool)
+            & ~null
+        )
+        out = lr_np.copy()  # default tier: lr < gate -> lev_ratio
+        out[ident] = 1.0  # jw == lev_ratio == 1 for identical strings
+        surv = ~null & ~ident & (lr_np >= gate)
+        av = a.to_numpy()
+        bv = b.to_numpy()
+        for i in np.nonzero(surv)[0]:
+            out[i] = (jaro_winkler_py(av[i], bv[i]) + lr_np[i]) / 2.0
+        out[null] = np.nan
         return pd.Series(out)
 
     return gated_string_sim
@@ -133,17 +139,42 @@ def cosine_sql(a_expr: str, b_expr: str) -> Column:
     return F.expr(f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END")
 
 
+def _cosine_rows(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Row-wise cosine over two (n, d) float64 matrices — one einsum per
+    batch instead of a Python loop per pair."""
+    dots = np.einsum("ij,ij->i", X, Y)
+    nx = np.sqrt(np.einsum("ij,ij->i", X, X))
+    ny = np.sqrt(np.einsum("ij,ij->i", Y, Y))
+    denom = nx * ny
+    good = denom > 0
+    return np.where(good, dots / np.where(good, denom, 1.0), 0.0)
+
+
 @pandas_udf(DoubleType())
 def cosine_vec(a: pd.Series, b: pd.Series) -> pd.Series:
-    """numpy cosine over two array<float> columns (scoring hot path)."""
-    out = np.empty(len(a), dtype="float64")
-    for i, (x, y) in enumerate(zip(a, b)):
-        if x is None or y is None:
-            out[i] = np.nan
-            continue
-        xv = np.asarray(x, dtype="float64")
-        yv = np.asarray(y, dtype="float64")
-        nx = np.linalg.norm(xv)
-        ny = np.linalg.norm(yv)
-        out[i] = float(xv @ yv / (nx * ny)) if nx > 0 and ny > 0 else 0.0
+    """numpy cosine over two array<float> columns (scoring hot path).
+
+    Encoder embeddings are fixed-DIM, so the whole Arrow batch stacks into
+    two (n, d) matrices and the dot/norm run as single vectorized einsums;
+    ragged batches (mixed dims) fall back to a per-row loop.
+    """
+    out = np.full(len(a), np.nan, dtype="float64")
+    valid = (~(a.isna() | b.isna())).to_numpy()
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
+        return pd.Series(out)
+    av = a.to_numpy()
+    bv = b.to_numpy()
+    try:
+        X = np.stack([np.asarray(av[i], dtype="float64") for i in idx])
+        Y = np.stack([np.asarray(bv[i], dtype="float64") for i in idx])
+        if X.shape != Y.shape:
+            raise ValueError("dim mismatch between sides")
+        out[idx] = _cosine_rows(X, Y)
+    except ValueError:  # ragged vectors: slow path, same semantics
+        for i in idx:
+            xv = np.asarray(av[i], dtype="float64")
+            yv = np.asarray(bv[i], dtype="float64")
+            n = np.linalg.norm(xv) * np.linalg.norm(yv)
+            out[i] = float(xv @ yv / n) if n > 0 else 0.0
     return pd.Series(out)

@@ -28,6 +28,22 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~70% of physical RAM): the 48g working-set sizing from
+    BASELINE.md r2, degraded gracefully on smaller hosts so the JVM spills
+    under shuffle load instead of getting OOM-killed. Overridable via
+    SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, int(total_gb * 0.7)))}g"
+    except OSError:
+        pass
+    return "48g"
+
+
 def get_spark(app: str = "er-engine", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine configuration."""
     if master is None:
@@ -41,7 +57,8 @@ def get_spark(app: str = "er-engine", master: str | None = None) -> SparkSession
     # Measured (BASELINE.md r2): at 1.2M pages the 24g heap GC-throttled
     # local[8] to 1904 docs/s; 48g restored 2799 docs/s (-32% wall).
     b = b.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     )
     b = b.config("spark.driver.maxResultSize", "4g")
     for k, v in ENGINE_CONFS.items():
