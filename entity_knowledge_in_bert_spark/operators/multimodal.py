@@ -13,6 +13,7 @@ function body.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -56,13 +57,16 @@ def _fake_decode(payload: bytes, kind: str, width: int, height: int):
     """
     n = len(payload)
     n_frames = 1 if kind == "image" else (3 if kind == "audio" else 5)
-    # deterministic "pixel" stream: payload bytes cycled
+    # deterministic "pixel" stream: payload bytes strided
     step = max(1, n // 32)
     sample = payload[::step][:64]
     vals = [b / 255.0 for b in sample]
     mean = sum(vals) / len(vals) if vals else 0.0
     var = sum((v - mean) ** 2 for v in vals) / len(vals) if vals else 0.0
-    return n_frames, round(mean, 6), round(var**0.5, 6)
+    # floor-half-up rounding (not Python's banker's round) so the closed
+    # form is reproducible verbatim in the DuckDB oracle
+    rnd = lambda x: math.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return n_frames, rnd(mean), rnd(var**0.5)
 
 
 def decode_asset(payload: bytes, kind: str, width: int, height: int):

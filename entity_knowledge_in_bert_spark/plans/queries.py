@@ -77,12 +77,49 @@ def q(name: str, sql: str | None):
     return deco
 
 
+# Driver-sampling priority (VERDICT r2 "Next round" #2): the verify
+# driver CORRECTNESS-checks a 50-entry sample of the registry; entries
+# that had no driver row in rounds 1-2 are surfaced FIRST so every
+# registered operator gets driver-adjudicated at least once. Purely an
+# ordering hint — membership and semantics are unchanged.
+_DRIVER_PRIORITY = [
+    # oracle-bearing, never driver-checked (r1+r2)
+    "benchmark_conll_eval",
+    "dedup_simhash_near_pairs",
+    "s2_extractor_shards_roundtrip",
+    "s6_partitioned_shards_roundtrip",
+    "f9_map_ops",
+    "o1_global_sort",
+    "a2_entity_frequency",
+    "e2_mention_offsets",
+    "e6_grouped_adjacent_pairs",
+    "e7_label_centroids",
+    "f1_unicode_normalize",
+    "a6_rollup_profile",
+    "j1_redirect_coalesce",
+    # rows-only, never driver-checked
+    "er_incremental_clusters",
+    "er_extract_hashes",
+    "er_encoder_vecs",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
+    head_set = set(head)
+    return head + [n for n in _REGISTRY if n not in head_set]
+
+
 def queries():
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k][0] for k in _ordered_names()}
 
 
 def oracle_sql():
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {
+        k: _REGISTRY[k][1]
+        for k in _ordered_names()
+        if _REGISTRY[k][1] is not None
+    }
 
 
 # ==========================================================================
@@ -1140,8 +1177,51 @@ def mm_asset_meta(spark, sf_dir):
     return asset_meta(synth_assets(T(spark, sf_dir, "documents")))
 
 
-@q("mm_extract_features", None)  # decode stub -> rows-only
+@q(
+    "mm_extract_features",
+    """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS payload_sha,
+         CAST(16 + doc_id % 64 AS INT) AS meta_width,
+         CAST(16 + doc_id % 48 AS INT) AS meta_height
+  FROM documents),
+s AS (SELECT *, greatest(1, n_bytes // 32) AS step FROM a),
+v AS (
+  SELECT *,
+         list_transform(
+           range(0, least(64, (n_bytes + step - 1) // step)),
+           i -> unicode(substr(text, CAST(1 + i * step AS INT), 1)) / 255.0
+         ) AS vals
+  FROM s),
+m AS (
+  SELECT *, CASE WHEN len(vals) = 0 THEN 0.0 ELSE list_avg(vals) END AS mean_v
+  FROM v),
+w AS (
+  SELECT *, CASE WHEN len(vals) = 0 THEN 0.0 ELSE
+           list_avg(list_transform(vals, x -> (x - mean_v) * (x - mean_v)))
+         END AS var_v
+  FROM m)
+SELECT asset_id, kind, n_bytes, payload_sha, meta_width, meta_height,
+  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 3 ELSE 5 END AS INT)
+    AS n_frames_sampled,
+  floor(mean_v * 1000000 + 0.5) / 1000000 AS feat_mean,
+  floor(sqrt(var_v) * 1000000 + 0.5) / 1000000 AS feat_std
+FROM w
+""",
+)
 def mm_extract_features(spark, sf_dir):
+    """Feature extraction over the stubbed decoder. The fake decode is a
+    closed form over payload byte strides (operators/multimodal.py
+    ``_fake_decode``), so the oracle reproduces it with DuckDB list
+    lambdas: byte i of the utf-8 payload == unicode code point of char
+    i+1 because the driver documents tables are pure ASCII (verified at
+    sf0.001/sf0.01); a real-codec deployment would drop the oracle and
+    keep the rows-only check."""
     from ..operators.multimodal import extract_features, synth_assets
 
     return extract_features(synth_assets(T(spark, sf_dir, "documents")))
@@ -1391,7 +1471,11 @@ WITH RECURSIVE raw AS (
   SELECT * FROM read_csv('{_CONLL_FIXTURE}', delim='\t', header=false,
     columns={{'token':'VARCHAR','bio':'VARCHAR','surface':'VARCHAR','entity':'VARCHAR'}})),
 m AS (
-  SELECT CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS mention_id,
+  SELECT lower(substr(surface, 1, 4)) || '#' ||
+         lpad(CAST(row_number() OVER (
+                PARTITION BY lower(substr(surface, 1, 4))
+                ORDER BY surface, entity, token) AS VARCHAR), 9, '0')
+           AS mention_id,
          surface, entity, lower(substr(surface, 1, 4)) AS block_key
   FROM raw WHERE bio = 'B'),
 p AS (
@@ -1453,11 +1537,25 @@ def benchmark_conll_eval(spark, sf_dir):
     from ..sources.readers import read_conll_tsv
 
     tsv = read_conll_tsv(spark, _CONLL_FIXTURE)
-    w = Window.orderBy("token")
+    # Mention ids: per-block rank composed with the block key. The window
+    # partitions on block_key (parallel on a real benchmark file — no
+    # global single-partition sort), and orders by the full (surface,
+    # entity, token) composite so ties are only possible between rows
+    # identical in every column, which are automorphic for pairwise F1
+    # (the fixture contains duplicate B-tokens to prove it). The same
+    # expression is reproduced verbatim in the DuckDB oracle.
+    w = Window.partitionBy("block_key").orderBy("surface", "entity", "token")
     m = (
         tsv.filter(F.col("bio") == "B")
-        .withColumn("mention_id", F.row_number().over(w).cast("bigint"))
         .withColumn("block_key", F.lower(F.substring("surface", 1, 4)))
+        .withColumn(
+            "mention_id",
+            F.concat_ws(
+                "#",
+                F.col("block_key"),
+                F.lpad(F.row_number().over(w).cast("string"), 9, "0"),
+            ),
+        )
         .select("mention_id", "surface", "entity", "block_key")
     )
     a = m.select(
