@@ -188,6 +188,29 @@ def block_keys(
     )
 
 
+def cap_by_size(
+    keys: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    cap_factor: int = CAP_FACTOR,
+) -> DataFrame:
+    """Re-apply the block-size cap to an ALREADY-MATERIALIZED key set
+    (mention_id, block_key): drop every key whose population exceeds
+    ``cap_factor * max_block``. The incremental plan uses this over the
+    unioned base+delta keys, so a block that grew past the cap across
+    deltas stops generating pairs exactly as a batch rebuild would drop
+    it (ADVICE r2: delta-only capping let touched blocks grow without
+    bound). One window over the key-partitioned set — no extra shuffle
+    beyond the partitioning the pair generator needs anyway."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("block_key")
+    return (
+        keys.withColumn("_bsize", F.count("*").over(w))
+        .filter(F.col("_bsize") <= F.lit(max_block * cap_factor))
+        .drop("_bsize")
+    )
+
+
 def block_audit(
     mentions: DataFrame,
     candidates: DataFrame,

@@ -54,11 +54,16 @@ class IncrementalER:
         rows = self.io.read("model_idf").collect()  # bounded: <= max_vocab
         return {r["tok"]: float(r["idf"]) for r in rows if r["tok"]}
 
-    def merge(self, delta_pages: DataFrame) -> DataFrame:
+    def merge(self, delta_pages: DataFrame, tag: str | None = None) -> DataFrame:
         """Fold ``delta_pages`` (NEW urls — re-crawled urls need the
         retract path, which is out of scope for this plan; the batch
         pipeline's as-of dedup is the authority on re-crawls) into the
-        warehouse; returns the updated mention-complete cluster table."""
+        warehouse; returns the updated mention-complete cluster table.
+
+        ``tag`` labels every snapshot this merge writes so a failed
+        attempt can be rolled back atomically before a replay
+        (TableIO.rollback_tag — the streaming foreachBatch exactly-once
+        contract)."""
         t0 = time.time()
         aliases = datagen.alias_df(self.spark)
 
@@ -68,7 +73,8 @@ class IncrementalER:
             "url", "warc_ts", F.col("text_extracted").alias("text"), "lang"
         )
         ex_snap = self.io.write(
-            extracted, "stage_extract", stage="extract_delta", append=True
+            extracted, "stage_extract", stage="extract_delta", append=True,
+            tag=tag,
         )
         self.timings["extract"] = time.time() - t0
 
@@ -83,7 +89,7 @@ class IncrementalER:
         embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
         m_snap = self.io.write(
-            m, "stage_mention", stage="mention_delta", append=True
+            m, "stage_mention", stage="mention_delta", append=True, tag=tag
         )
         self.timings["mention"] = time.time() - t0
 
@@ -99,13 +105,13 @@ class IncrementalER:
             base_salts.select("entity_id"), "entity_id", "anti"
         )
         self.io.write(new_salts, "block_salts", stage="block_salts_delta",
-                      append=True)
+                      append=True, tag=tag)
         salts = self.io.read("block_salts")
         delta_keys = blocking.block_keys(
             delta_m, cand, max_block=self.max_block, salts=salts
         )
         self.io.write(delta_keys, "stage_block", stage="block_delta",
-                      append=True)
+                      append=True, tag=tag)
         # touched blocks: base keys sharing a block_key with the delta —
         # the ONLY corpus-sized join in the whole merge, and it's a semi
         # join on a delta-derived key set
@@ -113,6 +119,18 @@ class IncrementalER:
         touched_keys = all_keys.join(
             delta_keys.select("block_key").distinct(), "block_key", "semi"
         )
+        # Re-apply the block-size cap over the COMBINED base+delta key
+        # population (delta_keys alone was capped on delta-only sizes):
+        # a block that grew past the cap across deltas is dropped from
+        # pairing exactly as a full batch rebuild would drop it, instead
+        # of growing quadratically forever. Residual asymmetry vs a
+        # rebuild — an accepted, conservative approximation, documented:
+        # (a) edges the base run already committed inside a since-grown
+        # block are never retracted; (b) a block the BASE run cap-dropped
+        # has no stored base keys, so delta mentions of it only pair among
+        # themselves. Both directions only SUPPRESS pairs (never invent
+        # merges) — the same recall trade the cap itself makes.
+        touched_keys = blocking.cap_by_size(touched_keys, self.max_block)
         self.timings["block"] = time.time() - t0
 
         # -- pairs: within touched blocks, >=1 delta side -----------------
@@ -135,7 +153,8 @@ class IncrementalER:
         feat = pairs.attach_features(new_pairs, all_m)
         scored = scoring.score_pairs(feat, aliases)
         edges = scoring.match_edges(scored)
-        self.io.write(edges, "stage_score", stage="score_delta", append=True)
+        self.io.write(edges, "stage_score", stage="score_delta", append=True,
+                      tag=tag)
         self.timings["score"] = time.time() - t0
 
         # -- cluster: merge only touched components -----------------------
@@ -150,6 +169,6 @@ class IncrementalER:
         )
         clusters = merged.unionByName(singles)
         self.io.write(clusters, "stage_cluster", stage="cluster_merge",
-                      inputs=[self.io.latest_snapshot("stage_score")])
+                      inputs=[self.io.latest_snapshot("stage_score")], tag=tag)
         self.timings["cluster"] = time.time() - t0
         return self.io.read("stage_cluster")

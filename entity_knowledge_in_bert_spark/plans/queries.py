@@ -1777,16 +1777,23 @@ def f9_map_ops(spark, sf_dir):
     "FROM lineitem) t WHERE rnk <= 50",
 )
 def o1_global_sort(spark, sf_dir):
-    """O1 — global total order (range partitioning + TakeOrdered)."""
+    """O1 — global total order over a UNIQUE composite key.
+
+    Top-k first (orderBy+limit plans a distributed TakeOrderedAndProject:
+    per-partition top-50, merged on the driver), THEN the rank window
+    over the surviving 50 rows — a global row_number window over the full
+    table would force a single-partition sort of the whole corpus (the
+    same scale defect VERDICT r2 flagged on benchmark_conll_eval)."""
     li = T(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
+    order = [
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
-    )
-    return (
+    ]
+    top = (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
+        .orderBy(*order)
+        .limit(50)
     )
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
 @q(

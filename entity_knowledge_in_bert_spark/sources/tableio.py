@@ -99,6 +99,7 @@ class TableIO:
         partition_by: list[str] | None = None,
         append: bool = False,
         bucket_by: tuple[list[str], int] | None = None,
+        tag: str | None = None,
     ) -> SnapshotInfo:
         """Write df as a NEW snapshot of `table` (create-or-replace
         semantics on read: latest snapshot wins). Appends per-partition
@@ -120,9 +121,23 @@ class TableIO:
         attach_features). Catalog-table write; on the in-memory catalog
         the bucketing spec lives for the session and the parquet files
         remain readable forever (a Hive/Iceberg catalog persists the
-        spec). Mutually exclusive with append/partition_by."""
+        spec). Mutually exclusive with append/partition_by.
+
+        ``tag`` labels the snapshot with a caller token so a group of
+        writes (e.g. one streaming micro-batch merge) can be rolled back
+        atomically via :meth:`rollback_tag` — the exactly-once mechanism
+        for at-least-once foreachBatch replays."""
         if bucket_by is not None and (append or partition_by):
             raise ValueError("bucket_by excludes append/partition_by")
+        if bucket_by is not None and self.catalog and len(bucket_by[0]) > 1:
+            # Iceberg's bucket transform is single-column; a multi-column
+            # spec would silently produce a DIFFERENT layout than the
+            # parquet backend's joint bucketBy(cols...) hash.
+            raise ValueError(
+                "multi-column bucket_by is not supported on the Iceberg "
+                "backend (bucket transform hashes one column); bucket on "
+                "a single column or use the parquet backend"
+            )
         import pyarrow.parquet as pq
 
         manifest = self._load_manifest(table)
@@ -210,6 +225,8 @@ class TableIO:
             "schema": df.schema.simpleString(),
             "complete": True,
         }
+        if tag is not None:
+            entry["tag"] = tag
         if prior is not None and not self.catalog:
             # parquet backend: record the append chain; Iceberg tracks
             # this in its own snapshot metadata.
@@ -310,3 +327,65 @@ class TableIO:
         return self.spark.read.parquet(
             os.path.join(self.warehouse, "_lineage", "*")
         )
+
+    # -- exactly-once merge bookkeeping -------------------------------------
+    # foreachBatch is at-least-once: a micro-batch replayed after a
+    # mid-merge crash would re-append identical rows into the append
+    # chains. The contract here: every write of one merge attempt carries
+    # the same ``tag``; the caller records the tag as complete ONLY after
+    # the whole merge committed, and rolls the tag back before retrying.
+    # Reads resolve through the manifest, so dropping tagged manifest
+    # entries makes the partial attempt invisible (its orphaned files are
+    # never referenced — the Iceberg orphan-file shape).
+
+    def _merges_path(self) -> str:
+        return os.path.join(self.warehouse, "_merges.json")
+
+    def merge_complete(self, tag: str) -> bool:
+        """Has a merge with this tag fully committed?"""
+        p = self._merges_path()
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return tag in json.load(f)["tags"]
+
+    def mark_merge_complete(self, tag: str) -> None:
+        """Atomically record ``tag`` as fully merged (idempotent)."""
+        p = self._merges_path()
+        rec = {"tags": []}
+        if os.path.exists(p):
+            with open(p) as f:
+                rec = json.load(f)
+        if tag not in rec["tags"]:
+            rec["tags"].append(tag)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        os.replace(tmp, p)
+
+    def rollback_tag(self, tag: str) -> int:
+        """Drop every snapshot labeled ``tag`` from every table manifest
+        (the partial work of a failed merge attempt); returns the number
+        of snapshots dropped. Data files are orphaned, not deleted —
+        nothing references them after the manifest swap. On the Iceberg
+        backend the equivalent is a WAP/branch commit or
+        ``rollback_to_snapshot``; not wired in this sandbox."""
+        if self.catalog:
+            raise NotImplementedError(
+                "tag rollback on the Iceberg backend requires WAP/branch "
+                "commits (not available in this sandbox)"
+            )
+        dropped = 0
+        if not os.path.isdir(self.warehouse):
+            return 0
+        for t in os.listdir(self.warehouse):
+            mp = self._manifest_path(t)
+            if not os.path.exists(mp):
+                continue
+            manifest = self._load_manifest(t)
+            keep = [s for s in manifest["snapshots"] if s.get("tag") != tag]
+            if len(keep) != len(manifest["snapshots"]):
+                dropped += len(manifest["snapshots"]) - len(keep)
+                manifest["snapshots"] = keep
+                self._save_manifest(t, manifest)
+        return dropped

@@ -165,16 +165,24 @@ def stream_incremental_er(
     This is the production shape of "entity resolution keeps up with the
     crawl": each micro-batch costs O(batch) — appends to the corpus
     tables plus a re-cluster of only the touched components — instead of
-    the reference's full batch re-run [R: SURVEY.md §3.2]. Exactly-once:
-    the streaming checkpoint dedups file re-delivery, and mention_ids
-    are deterministic hashes so even a replayed batch appends identical
-    rows (idempotent under the as-of/latest read convention).
+    the reference's full batch re-run [R: SURVEY.md §3.2].
+
+    Exactly-once despite foreachBatch's at-least-once delivery: every
+    snapshot a merge writes carries a tag derived from (checkpoint,
+    batch_id); the tag is recorded complete only AFTER the whole merge
+    committed. On replay, a fully-merged batch is skipped outright, and
+    the partial snapshots of a crashed attempt are rolled back from the
+    table manifests (TableIO.rollback_tag) before the merge re-runs —
+    so the append chains never accumulate duplicate mention/key/edge
+    rows and the cluster table matches a crash-free run.
 
     Requires a base warehouse already built by ERPipeline.run() (the
     frozen model_idf / block_salts artifacts). Runs with availableNow
     and blocks until the backlog drains; returns the updated cluster
     table.
     """
+    import hashlib
+
     from ..plans.incremental import IncrementalER
 
     stream = (
@@ -183,12 +191,21 @@ def stream_incremental_er(
         .parquet(pages_dir)
     )
 
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_er_")
+    # batch_ids restart at 0 per checkpoint: scope tags to the checkpoint
+    # so a fresh stream instance over the same warehouse never collides
+    # with (and never wrongly skips because of) an older stream's tags.
+    ckpt_id = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        IncrementalER(spark, io).merge(batch_df)
-
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_er_")
+        tag = f"stream-{ckpt_id}-batch-{batch_id}"
+        if io.merge_complete(tag):
+            return  # replay of a fully-committed batch: skip
+        io.rollback_tag(tag)  # drop partial snapshots of a crashed attempt
+        IncrementalER(spark, io).merge(batch_df, tag=tag)
+        io.mark_merge_complete(tag)
     q = (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt)

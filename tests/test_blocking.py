@@ -101,3 +101,18 @@ def test_block_audit_sees_dropped_keys(spark):
     for r in audit:
         if not r["dropped"]:
             assert r["block_size"] in kept_sizes
+
+
+def test_cap_by_size_drops_grown_blocks(spark):
+    """ADVICE r2: a block under the cap in base and in delta separately
+    but over it combined must be dropped by the combined-population cap
+    (max_block=1 -> hard cap 2)."""
+    base = [("m%d" % i, "E:9:0") for i in range(2)] + [("s1", "E:7:0")]
+    delta = [("d%d" % i, "E:9:0") for i in range(2)] + [("s2", "E:7:0")]
+    keys = spark.createDataFrame(
+        base + delta, "mention_id string, block_key string"
+    )
+    out = blocking.cap_by_size(keys, max_block=1)
+    kept = {(r["mention_id"], r["block_key"]) for r in out.collect()}
+    # E:9:0 has combined size 4 > 2 -> gone; E:7:0 has size 2 <= 2 -> kept
+    assert kept == {("s1", "E:7:0"), ("s2", "E:7:0")}

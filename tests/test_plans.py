@@ -99,3 +99,14 @@ def test_wholestage_codegen_on_relational_spine(spark, sf_dir):
     assert "isFinalPlan=true" in post
     # "*(N)" prefixes mark whole-stage-codegen stages in the compact form
     assert "*(1)" in post and "*(2)" in post
+
+
+def test_o1_topk_is_take_ordered(spark, sf_dir):
+    """O1 must plan a distributed TakeOrderedAndProject (per-partition
+    top-k + merge), NOT a single-partition global sort of the corpus
+    (the scale defect class VERDICT r2 flagged on the global windows)."""
+    from entity_knowledge_in_bert_spark.plans.queries import queries
+
+    df = queries()["o1_global_sort"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan

@@ -28,8 +28,12 @@ def warehouses(spark, tmp_path_factory):
     )
     wh_stream = str(tmp_path_factory.mktemp("whs")) + "/wh"
     wh_manual = str(tmp_path_factory.mktemp("whm")) + "/wh"
+    wh_replay = str(tmp_path_factory.mktemp("whr")) + "/wh"
+    wh_clean = str(tmp_path_factory.mktemp("whc")) + "/wh"
     shutil.copytree(base_wh, wh_stream)
     shutil.copytree(base_wh, wh_manual)
+    shutil.copytree(base_wh, wh_replay)
+    shutil.copytree(base_wh, wh_clean)
 
     # bronze landing dir: two single-file deltas = two micro-batches
     bronze = str(tmp_path_factory.mktemp("bronze"))
@@ -37,7 +41,7 @@ def warehouses(spark, tmp_path_factory):
     d2 = datagen.gen_pages_df(spark, N_D2, start=N_BASE + N_D1)
     d1.coalesce(1).write.mode("append").parquet(bronze)
     d2.coalesce(1).write.mode("append").parquet(bronze)
-    return spark, wh_stream, wh_manual, bronze, d1, d2
+    return spark, wh_stream, wh_manual, wh_replay, wh_clean, bronze, d1, d2
 
 
 def _cluster_set(df):
@@ -45,7 +49,7 @@ def _cluster_set(df):
 
 
 def test_stream_merge_equals_manual_merges(warehouses):
-    spark, wh_stream, wh_manual, bronze, d1, d2 = warehouses
+    spark, wh_stream, wh_manual, _, _, bronze, d1, d2 = warehouses
     io_s = TableIO(spark, wh_stream)
     streamed = stream_incremental_er(spark, io_s, bronze)
 
@@ -57,7 +61,7 @@ def test_stream_merge_equals_manual_merges(warehouses):
 
 
 def test_stream_covers_all_batches(warehouses):
-    spark, wh_stream, _, _, _, _ = warehouses
+    spark, wh_stream, _, _, _, _, _, _ = warehouses
     io_s = TableIO(spark, wh_stream)
     urls = (
         io_s.read("stage_extract").select("url").distinct().count()
@@ -68,3 +72,53 @@ def test_stream_covers_all_batches(warehouses):
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
     assert "extract_delta" in stages and "cluster_merge" in stages
     assert urls > 0
+
+
+def test_replay_after_crash_is_exactly_once(warehouses):
+    """foreachBatch is at-least-once (ADVICE r2): simulate a crashed
+    merge attempt (partial tagged appends), then the replay protocol —
+    rollback_tag + re-merge + mark complete — and require the cluster
+    table to equal a crash-free single merge. A second replay of the
+    completed tag must be a pure skip."""
+    spark, _, _, wh_replay, wh_clean, _, d1, _ = warehouses
+    io_r = TableIO(spark, wh_replay)
+    tag = "stream-test-batch-0"
+
+    # crashed attempt: the merge got through two appends, then died
+    latest = d1.limit(20).select(
+        "url", "warc_ts", F.expr("cast(null as string)").alias("text"), "lang"
+    )
+    io_r.write(latest, "stage_extract", stage="extract_delta", append=True,
+               tag=tag)
+    io_r.write(spark.createDataFrame([("junk", 9)], "tok string, idf int"),
+               "stage_block", stage="block_delta", append=True, tag=tag)
+    crashed_extract = io_r.read("stage_extract").count()
+
+    # replay: rollback partial work, merge for real, record completion
+    assert not io_r.merge_complete(tag)
+    io_r.rollback_tag(tag)
+    assert io_r.read("stage_extract").count() < crashed_extract
+    IncrementalER(spark, io_r).merge(d1, tag=tag)
+    io_r.mark_merge_complete(tag)
+
+    # crash-free reference: the same single merge on an untouched copy
+    io_c = TableIO(spark, wh_clean)
+    clean = IncrementalER(spark, io_c).merge(d1)
+    clusters = io_r.read("stage_cluster")
+    assert _cluster_set(clusters) == _cluster_set(clean)
+    # no duplicate mention rows (the replay-duplication failure mode)
+    dup = (
+        clusters.groupBy("mention_id").count().filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+    mentions_rows = io_r.read("stage_mention").count()
+    distinct_mentions = (
+        io_r.read("stage_mention").select("mention_id").distinct().count()
+    )
+    assert mentions_rows == distinct_mentions
+
+    # replay of a COMPLETED tag must not change anything
+    before = io_r.read("stage_extract").count()
+    assert io_r.merge_complete(tag)
+    after = io_r.read("stage_extract").count()
+    assert after == before
