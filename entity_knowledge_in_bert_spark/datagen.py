@@ -124,14 +124,22 @@ def page_record(
     aliases_by_entity: dict[int, list[str]],
     sigs: dict[int, list[str]],
     n_entities: int = N_ENTITIES,
+    generation: int = 0,
 ):
     """Build one url's snapshots + gold mentions. Pure and deterministic.
+
+    ``generation`` models a RE-CRAWL of the same url: generation g > 0
+    keeps the url but reseeds the content rng and advances ``warc_ts``
+    by 3g days, so the page text (and its mentions) genuinely change —
+    the input the incremental retract path (plans/incremental.py) and
+    the batch as-of rule (J7) reconcile. generation=0 output is
+    byte-identical to the historical generator (golden hashes, t3).
 
     Returns (pages_rows, mention_rows):
       pages_rows: list of (url, warc_ts, html, text, lang)
       mention_rows: (url, begin, end, surface, entity_gold) on latest text.
     """
-    rng = np.random.RandomState(SEED + page_id)
+    rng = np.random.RandomState(SEED + page_id + 1_000_003 * generation)
     url = f"https://site{page_id % 97}.example/p/{page_id}"
     lang = _LANGS[page_id % len(_LANGS)]
 
@@ -198,9 +206,13 @@ def page_record(
     hparts.append("</body></html>")
     html_latest = "".join(hparts).encode("utf-8")
 
-    base_ts = _EPOCH + timedelta(hours=int(page_id % 240), minutes=int(page_id % 53))
+    base_ts = _EPOCH + timedelta(
+        hours=int(page_id % 240),
+        minutes=int(page_id % 53),
+        days=3 * generation,
+    )
     pages = []
-    if page_id % 20 == 7:  # ~5%: one stale earlier snapshot
+    if generation == 0 and page_id % 20 == 7:  # ~5%: one stale earlier snapshot
         stale_text = "stale " + text
         stale_html = html_latest.replace(b"<body>", b"<body>stale ", 1)
         pages.append((url, base_ts - timedelta(days=2), stale_html, stale_text, lang))
@@ -227,12 +239,22 @@ _GOLD_SPARK_SCHEMA = (
 )
 
 
-def gen_pages_df(spark, n_pages: int, parts: int | None = None, start: int = 0):
+def gen_pages_df(
+    spark,
+    n_pages: int,
+    parts: int | None = None,
+    start: int = 0,
+    generation: int = 0,
+):
     """Distributed pages generator: spark.range -> mapInPandas.
 
     ``start`` offsets the page-id range — page ids [start, start+n_pages)
     — so a test can generate a crawl DELTA disjoint from (and identically
-    distributed to) a base corpus (plans/incremental.py)."""
+    distributed to) a base corpus (plans/incremental.py).
+
+    ``generation`` > 0 re-crawls the SAME urls with changed content and
+    warc_ts advanced 3·g days (see page_record) — the retract-path
+    input."""
     adf = alias_table()
     by_ent = _alias_lookup(adf)
     sigs = entity_signatures()
@@ -241,7 +263,9 @@ def gen_pages_df(spark, n_pages: int, parts: int | None = None, start: int = 0):
         for b in batches:
             rows = []
             for pid in b["id"]:
-                pages, _ = page_record(int(pid), by_ent, sigs)
+                pages, _ = page_record(
+                    int(pid), by_ent, sigs, generation=generation
+                )
                 rows.extend(pages)
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
@@ -255,8 +279,18 @@ def gen_pages_df(spark, n_pages: int, parts: int | None = None, start: int = 0):
     return rng_df.mapInPandas(gen, schema=_PAGES_SPARK_SCHEMA)
 
 
-def gen_gold_df(spark, n_pages: int, parts: int | None = None):
-    """Distributed gold-mention generator (latest en snapshot only)."""
+def gen_gold_df(
+    spark,
+    n_pages: int,
+    parts: int | None = None,
+    start: int = 0,
+    generation: int = 0,
+):
+    """Distributed gold-mention generator (latest en snapshot only).
+
+    ``start``/``generation`` mirror gen_pages_df, so a test can assemble
+    gold for a corpus whose first K urls were re-crawled:
+    gold(0..K, gen=1) ∪ gold(K..N, gen=0)."""
     adf = alias_table()
     by_ent = _alias_lookup(adf)
     sigs = entity_signatures()
@@ -265,13 +299,19 @@ def gen_gold_df(spark, n_pages: int, parts: int | None = None):
         for b in batches:
             rows = []
             for pid in b["id"]:
-                _, ms = page_record(int(pid), by_ent, sigs)
+                _, ms = page_record(
+                    int(pid), by_ent, sigs, generation=generation
+                )
                 rows.extend(ms)
             yield pd.DataFrame(
                 rows, columns=["url", "begin", "end", "surface", "entity_gold"]
             )
 
-    rng_df = spark.range(n_pages, numPartitions=parts or min(max(64, n_pages // 2000), 512))
+    rng_df = spark.range(
+        start,
+        start + n_pages,
+        numPartitions=parts or min(max(64, n_pages // 2000), 512),
+    )
     return rng_df.mapInPandas(gen, schema=_GOLD_SPARK_SCHEMA)
 
 

@@ -19,6 +19,14 @@ Iceberg fast-append) except the output cluster table, which is replaced.
 Work scales with |delta| x (avg touched-block size): the corpus-sized
 tables are only ever semi-joined against delta-derived key sets, and the
 CC iterations run on the touched subgraph alone (operators/incremental).
+
+RE-CRAWLS (same url, newer warc_ts) are first-class: stale delta
+snapshots are dropped by the as-of rule, newer ones retract the url's
+previous mentions via an O(|retract|) tombstone table
+(``retracted_mentions``) that every corpus-table read on this path
+filters with an anti join, and only the clusters that contained a
+retracted mention are re-solved from their surviving edges (node removal
+can split a component — a plain min-merge cannot express that).
 """
 
 from __future__ import annotations
@@ -54,11 +62,29 @@ class IncrementalER:
         rows = self.io.read("model_idf").collect()  # bounded: <= max_vocab
         return {r["tok"]: float(r["idf"]) for r in rows if r["tok"]}
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Filter tombstoned mentions out of a corpus-table read (the
+        retract path). The tombstone table grows with re-crawls, not with
+        the corpus — the anti join broadcasts in practice."""
+        if not self.io.exists("retracted_mentions"):
+            return df
+        t = self.io.read("retracted_mentions").select("mention_id")
+        return df.join(t, "mention_id", "left_anti")
+
     def merge(self, delta_pages: DataFrame, tag: str | None = None) -> DataFrame:
-        """Fold ``delta_pages`` (NEW urls — re-crawled urls need the
-        retract path, which is out of scope for this plan; the batch
-        pipeline's as-of dedup is the authority on re-crawls) into the
-        warehouse; returns the updated mention-complete cluster table.
+        """Fold ``delta_pages`` into the warehouse; returns the updated
+        mention-complete cluster table.
+
+        Handles NEW urls and RE-CRAWLED urls. The as-of rule (J7): a
+        delta snapshot not newer than the stored extract for its url is
+        a late arrival and is dropped; a newer snapshot RETRACTS the
+        url's previous mentions (tombstones, O(|retract|)) and rebuilds
+        only the clusters that contained them from the surviving edge
+        subgraph — so a re-crawl converges to what a batch rebuild over
+        the reconciled corpus produces. Accepted approximation: a
+        mention whose (url, begin, surface) survives the re-crawl keeps
+        its stored context embedding even if surrounding text drifted
+        (identity is span-based; refreshed by the next full rebuild).
 
         ``tag`` labels every snapshot this merge writes so a failed
         attempt can be rolled back atomically before a replay
@@ -67,9 +93,27 @@ class IncrementalER:
         t0 = time.time()
         aliases = datagen.alias_df(self.spark)
 
-        # -- extract (identical kernel to batch; append) ------------------
+        # -- recrawl reconciliation (retract path) ------------------------
+        # one bounded action: which delta urls are genuinely newer than
+        # the stored extract (semi join on the delta's url set only —
+        # never a full-corpus aggregate)
         latest = mentions.latest_snapshot(mentions.english_pages(delta_pages))
-        extracted = with_extracted_text(latest).select(
+        base_ts = (
+            self.io.read("stage_extract")
+            .select("url", "warc_ts")
+            .join(latest.select("url").distinct(), "url", "semi")
+            .groupBy("url")
+            .agg(F.max("warc_ts").alias("_base_ts"))
+        )
+        fresh = latest.join(base_ts, "url", "left").filter(
+            F.col("_base_ts").isNull() | (F.col("warc_ts") > F.col("_base_ts"))
+        )
+        recrawled = fresh.filter(F.col("_base_ts").isNotNull()).select("url")
+        fresh = fresh.drop("_base_ts")
+        n_recrawled = recrawled.count()
+
+        # -- extract (identical kernel to batch; append) ------------------
+        extracted = with_extracted_text(fresh).select(
             "url", "warc_ts", F.col("text_extracted").alias("text"), "lang"
         )
         ex_snap = self.io.write(
@@ -88,6 +132,27 @@ class IncrementalER:
         idf_bc = self.spark.sparkContext.broadcast(self._frozen_idf())
         embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
+        retracts = None
+        if n_recrawled:
+            # previous mentions of re-crawled urls that the new crawl did
+            # NOT re-emit are tombstoned; re-emitted ids (same url, begin,
+            # surface => same mention_id) stay base mentions and are NOT
+            # re-appended, so the chain never holds duplicate ids.
+            old_ids = (
+                self._live(self.io.read("stage_mention"))
+                .join(recrawled, "url", "semi")
+                .select("mention_id")
+            )
+            new_ids = m.select("mention_id")
+            r_snap = self.io.write(
+                old_ids.join(new_ids, "mention_id", "left_anti"),
+                "retracted_mentions", stage="retract_delta", append=True,
+                tag=tag,
+            )
+            retracts = self.io.read(
+                "retracted_mentions", r_snap.snapshot_id, chain=False
+            )
+            m = m.join(old_ids, "mention_id", "left_anti")
         m_snap = self.io.write(
             m, "stage_mention", stage="mention_delta", append=True, tag=tag
         )
@@ -114,8 +179,9 @@ class IncrementalER:
                       append=True, tag=tag)
         # touched blocks: base keys sharing a block_key with the delta —
         # the ONLY corpus-sized join in the whole merge, and it's a semi
-        # join on a delta-derived key set
-        all_keys = self.io.read("stage_block")
+        # join on a delta-derived key set (tombstoned mentions filtered:
+        # a retracted mention must not pair again)
+        all_keys = self._live(self.io.read("stage_block"))
         touched_keys = all_keys.join(
             delta_keys.select("block_key").distinct(), "block_key", "semi"
         )
@@ -149,7 +215,7 @@ class IncrementalER:
 
         # -- score: same kernels/thresholds as batch ----------------------
         t0 = time.time()
-        all_m = self.io.read("stage_mention")
+        all_m = self._live(self.io.read("stage_mention"))
         feat = pairs.attach_features(new_pairs, all_m)
         scored = scoring.score_pairs(feat, aliases)
         edges = scoring.match_edges(scored)
@@ -160,6 +226,31 @@ class IncrementalER:
         # -- cluster: merge only touched components -----------------------
         t0 = time.time()
         old = self.io.read("stage_cluster").select("mention_id", "cluster_id")
+        if retracts is not None:
+            # removing a node can SPLIT a component: re-solve exactly the
+            # clusters that contained a retracted mention from their
+            # surviving edge subgraph (O(touched), never the corpus).
+            from ..operators.cluster import assign_clusters
+
+            affected = (
+                old.join(retracts, "mention_id", "semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            keep = old.join(affected, "cluster_id", "left_anti")
+            sub = (
+                old.join(affected, "cluster_id", "semi")
+                .join(retracts, "mention_id", "left_anti")
+                .select("mention_id")
+            )
+            all_edges = self.io.read("stage_score")
+            sub_edges = all_edges.join(
+                sub.withColumnRenamed("mention_id", "src"), "src", "semi"
+            ).join(sub.withColumnRenamed("mention_id", "dst"), "dst", "semi")
+            resolved = assign_clusters(sub, sub_edges).select(
+                "mention_id", "cluster_id"
+            )
+            old = keep.unionByName(resolved)
         merged = merge_components(old, edges)
         # isolated delta mentions -> singleton clusters (same convention
         # as the batch stage_cluster)

@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = [
     "j1_redirect_coalesce",
     # rows-only, never driver-checked
     "er_incremental_clusters",
+    "er_retract_clusters",
     "er_extract_hashes",
     "er_encoder_vecs",
 ]
@@ -1626,6 +1627,35 @@ def er_incremental_clusters(spark, sf_dir):
     merged = IncrementalER(spark, io).merge(
         datagen.gen_pages_df(spark, n - n_base, start=n_base)
     )
+    return cluster_size_histogram(merged)
+
+
+@q("er_retract_clusters", None)
+def er_retract_clusters(spark, sf_dir):
+    """Rows-only driver surface for the RE-CRAWL retract path
+    (plans/incremental.py): batch-build 2/3 of the corpus, then fold a
+    delta that re-crawls the first 1/6 of the urls with CHANGED content
+    (generation 1) and adds the last 1/3 as new urls. Superseded
+    mentions are tombstoned, their clusters re-solved from surviving
+    edges. Exactness vs a batch rebuild over the reconciled corpus is
+    value-checked by tests/test_retract.py (mention-set equality + F1
+    gate + late-arrival no-op)."""
+    import tempfile
+
+    from .. import datagen
+    from ..operators.cluster import cluster_size_histogram
+    from ..sources.tableio import TableIO
+    from .incremental import IncrementalER
+    from .pipeline import ERPipeline
+
+    n = _er_scale(sf_dir)
+    n_base = (2 * n) // 3
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_retract_q_"))
+    ERPipeline(spark, io).run(datagen.gen_pages_df(spark, n_base))
+    delta = datagen.gen_pages_df(
+        spark, max(1, n // 6), start=0, generation=1
+    ).unionByName(datagen.gen_pages_df(spark, n - n_base, start=n_base))
+    merged = IncrementalER(spark, io).merge(delta)
     return cluster_size_histogram(merged)
 
 
