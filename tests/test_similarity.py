@@ -107,3 +107,37 @@ def test_gated_string_sim_never_flips_match(spark):
     finally:
         scoring.T_JW_GATE = orig
     assert {k: v[0] for k, v in got.items()} == ungated
+
+
+# ---------------------------------------------------------------------------
+# Property: the pure-Python Jaro-Winkler kernel must agree with DuckDB's
+# jaro_winkler_similarity on ARBITRARY strings, not just the fixed pairs
+# above — this is the oracle contract the F4 queries and the score stage
+# rest on. Pure python+duckdb (no Spark): cheap and deterministic.
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    import duckdb as _duck
+
+    _ALPHA = st.text(
+        alphabet=st.sampled_from("abcdxyz ABE-"), min_size=0, max_size=24
+    )
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(_ALPHA, _ALPHA)
+    def test_jaro_winkler_matches_duckdb_property(a, b):
+        from entity_knowledge_in_bert_spark.functions.similarity import (
+            jaro_winkler_py,
+        )
+
+        con = _duck.connect()
+        got = jaro_winkler_py(a, b)
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        con.close()
+        assert abs(got - want) < 1e-12, (a, b, got, want)
+
+except ImportError:  # hypothesis is baked into this environment; belt+braces
+    pass

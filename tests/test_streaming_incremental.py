@@ -122,3 +122,31 @@ def test_replay_after_crash_is_exactly_once(warehouses):
     assert io_r.merge_complete(tag)
     after = io_r.read("stage_extract").count()
     assert after == before
+
+
+def test_stream_recrawl_batch(spark, tmp_path_factory):
+    """A re-crawl micro-batch through the streaming fold must equal the
+    same delta merged manually — retract semantics (tombstones +
+    component re-solve) survive the foreachBatch wrapper."""
+    base_wh = str(tmp_path_factory.mktemp("wh_rc_base"))
+    ERPipeline(spark, TableIO(spark, base_wh)).run(
+        datagen.gen_pages_df(spark, 200)
+    )
+    wh_s = str(tmp_path_factory.mktemp("wh_rc_s")) + "/wh"
+    wh_m = str(tmp_path_factory.mktemp("wh_rc_m")) + "/wh"
+    shutil.copytree(base_wh, wh_s)
+    shutil.copytree(base_wh, wh_m)
+
+    delta = datagen.gen_pages_df(spark, 40, start=0, generation=1)
+    bronze = str(tmp_path_factory.mktemp("bronze_rc"))
+    delta.coalesce(1).write.mode("append").parquet(bronze)
+
+    io_s = TableIO(spark, wh_s)
+    streamed = stream_incremental_er(spark, io_s, bronze)
+    io_m = TableIO(spark, wh_m)
+    manual = IncrementalER(spark, io_m).merge(delta)
+
+    assert _cluster_set(streamed) == _cluster_set(manual)
+    tomb_s = {r["mention_id"] for r in io_s.read("retracted_mentions").collect()}
+    tomb_m = {r["mention_id"] for r in io_m.read("retracted_mentions").collect()}
+    assert tomb_s and tomb_s == tomb_m
