@@ -125,6 +125,7 @@ def page_record(
     sigs: dict[int, list[str]],
     n_entities: int = N_ENTITIES,
     generation: int = 0,
+    content_generation: int | None = None,
 ):
     """Build one url's snapshots + gold mentions. Pure and deterministic.
 
@@ -135,11 +136,19 @@ def page_record(
     the batch as-of rule (J7) reconcile. generation=0 output is
     byte-identical to the historical generator (golden hashes, t3).
 
+    ``content_generation`` (default: = generation) decouples the content
+    seed from the timestamp: generation=2, content_generation=0 is a
+    CONTENT REVERT — the gen-0 page re-crawled at a gen-2 timestamp, the
+    input that resurrects previously-tombstoned mentions (same
+    url/begin/surface => same mention_id at a newer warc_ts).
+
     Returns (pages_rows, mention_rows):
       pages_rows: list of (url, warc_ts, html, text, lang)
       mention_rows: (url, begin, end, surface, entity_gold) on latest text.
     """
-    rng = np.random.RandomState(SEED + page_id + 1_000_003 * generation)
+    if content_generation is None:
+        content_generation = generation
+    rng = np.random.RandomState(SEED + page_id + 1_000_003 * content_generation)
     url = f"https://site{page_id % 97}.example/p/{page_id}"
     lang = _LANGS[page_id % len(_LANGS)]
 
@@ -245,6 +254,7 @@ def gen_pages_df(
     parts: int | None = None,
     start: int = 0,
     generation: int = 0,
+    content_generation: int | None = None,
 ):
     """Distributed pages generator: spark.range -> mapInPandas.
 
@@ -254,7 +264,8 @@ def gen_pages_df(
 
     ``generation`` > 0 re-crawls the SAME urls with changed content and
     warc_ts advanced 3·g days (see page_record) — the retract-path
-    input."""
+    input. ``content_generation`` decouples content from timestamp (a
+    content REVERT at a newer warc_ts; see page_record)."""
     adf = alias_table()
     by_ent = _alias_lookup(adf)
     sigs = entity_signatures()
@@ -264,7 +275,8 @@ def gen_pages_df(
             rows = []
             for pid in b["id"]:
                 pages, _ = page_record(
-                    int(pid), by_ent, sigs, generation=generation
+                    int(pid), by_ent, sigs, generation=generation,
+                    content_generation=content_generation,
                 )
                 rows.extend(pages)
             yield pd.DataFrame(
@@ -285,12 +297,13 @@ def gen_gold_df(
     parts: int | None = None,
     start: int = 0,
     generation: int = 0,
+    content_generation: int | None = None,
 ):
     """Distributed gold-mention generator (latest en snapshot only).
 
-    ``start``/``generation`` mirror gen_pages_df, so a test can assemble
-    gold for a corpus whose first K urls were re-crawled:
-    gold(0..K, gen=1) ∪ gold(K..N, gen=0)."""
+    ``start``/``generation``/``content_generation`` mirror gen_pages_df,
+    so a test can assemble gold for a corpus whose first K urls were
+    re-crawled: gold(0..K, gen=1) ∪ gold(K..N, gen=0)."""
     adf = alias_table()
     by_ent = _alias_lookup(adf)
     sigs = entity_signatures()
@@ -300,7 +313,8 @@ def gen_gold_df(
             rows = []
             for pid in b["id"]:
                 _, ms = page_record(
-                    int(pid), by_ent, sigs, generation=generation
+                    int(pid), by_ent, sigs, generation=generation,
+                    content_generation=content_generation,
                 )
                 rows.extend(ms)
             yield pd.DataFrame(

@@ -54,32 +54,101 @@ STOPWORD_DF_FRACTION = 0.3
 DECAY = 0.55
 
 
-def encode_ctx(left: pd.Series, right: pd.Series, idf: dict[str, float]) -> pd.Series:
-    """numpy kernel: (left ctx, right ctx) -> Series[list[float32]].
+# positional-decay table: _DECAY_POWS[d] == the sequential product
+# 1.0 * DECAY * ... (d times), exactly as the historical per-token
+# `w_pos *= DECAY` loop computed it (np.cumprod multiplies left-to-right,
+# so every entry is bit-identical to the loop's float64 sequence).
+_DECAY_POWS = np.concatenate(([1.0], np.cumprod(np.full(256, DECAY))))
+
+
+def _decay_pows(n: int) -> np.ndarray:
+    global _DECAY_POWS
+    if len(_DECAY_POWS) < n:
+        _DECAY_POWS = np.concatenate(([1.0], np.cumprod(np.full(n, DECAY))))
+    return _DECAY_POWS
+
+
+# memo-size bound: web vocabularies are open-ended; a miss past the cap
+# just recomputes blake2b + the idf lookup.
+_MEMO_MAX = 1_000_000
+
+
+def encode_ctx(
+    left: pd.Series,
+    right: pd.Series,
+    idf: dict[str, float],
+    memo: dict[str, tuple] | None = None,
+) -> pd.Series:
+    """Vectorized numpy kernel: (left ctx, right ctx) -> Series[list[float32]].
 
     idf weights of 0.0 mark stopwords (ubiquitous tokens) — dropped so the
     context vector carries only discriminative tokens; without this the
     shared common component dominates every cosine and ambiguous surfaces
     can't be separated.
+
+    VERDICT r3 #2: the historical kernel looped Python per token per
+    MENTION doing blake2b + scalar float arithmetic — the dominant Python
+    cost of the mention stage. Now each token costs one dict lookup
+    (``memo``: token -> (slot, idf*sign), computed once per distinct
+    token per worker — pass a dict owned by the caller to persist it
+    across Arrow batches, as make_encoder_udf does) and the accumulation
+    is one ``np.add.at`` over the flattened (row, slot) indices. Values
+    are BIT-IDENTICAL to the loop (t6 golden vectors + t4 F1 gate):
+    ``np.add.at`` applies additions in flat-index order == the loop's
+    reversed-left-then-right order per row; the decay table replays the
+    loop's sequential ``w_pos *= DECAY`` products; ``idf*sign`` is an
+    exact IEEE sign flip, so ``(idf*sign)*decay == ±(idf*decay)``
+    bitwise.
     """
-    vecs = []
-    default_idf = 1.0
-    for ls, rs in zip(left, right):
-        v = np.zeros(DIM, dtype="float64")
+    if memo is None:
+        memo = {}
+    n = len(left)
+    row_ids: list[int] = []
+    slot_ids: list[int] = []
+    bases: list[float] = []
+    pos_flat: list[int] = []
+    max_side = 0
+    for ridx, (ls, rs) in enumerate(zip(left, right)):
         ltoks = [t for t in (ls or "").split(" ") if t]
         rtoks = [t for t in (rs or "").split(" ") if t]
-        for toks in (reversed(ltoks), rtoks):
-            w_pos = 1.0
-            for t in toks:
-                w = idf.get(t, default_idf)
-                if w != 0.0:
-                    h = _stable_hash64(t)
-                    wd = w * w_pos
-                    v[h % DIM] += wd if (h >> 8) & 1 else -wd
-                w_pos *= DECAY
-        n = np.linalg.norm(v)
-        if n > 0:
-            v /= n
+        for toks in (ltoks[::-1], rtoks):
+            if len(toks) > max_side:
+                max_side = len(toks)
+            for p, t in enumerate(toks):
+                v = memo.get(t)
+                if v is None:
+                    w = idf.get(t, 1.0)
+                    if w == 0.0:
+                        v = ()  # stopword: contributes nothing
+                    else:
+                        h = _stable_hash64(t)
+                        v = (h % DIM, w if (h >> 8) & 1 else -w)
+                    if len(memo) < _MEMO_MAX:
+                        memo[t] = v
+                if v:
+                    row_ids.append(ridx)
+                    slot_ids.append(v[0])
+                    bases.append(v[1])
+                    pos_flat.append(p)
+    out = np.zeros((n, DIM), dtype="float64")
+    if row_ids:
+        contrib = np.asarray(bases, dtype="float64") * _decay_pows(max_side)[
+            np.asarray(pos_flat, dtype="int64")
+        ]
+        np.add.at(
+            out,
+            (
+                np.asarray(row_ids, dtype="int64"),
+                np.asarray(slot_ids, dtype="int64"),
+            ),
+            contrib,
+        )
+    vecs = []
+    for i in range(n):
+        v = out[i]
+        nrm = np.linalg.norm(v)  # same 1-D norm call as the loop
+        if nrm > 0:
+            v = v / nrm
         vecs.append(v.astype("float32").tolist())
     return pd.Series(vecs)
 
@@ -97,10 +166,13 @@ def make_encoder_udf(idf):
 
     @pandas_udf(ArrayType(FloatType()))
     def embed(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        # per-worker init happens here (ONNX: ort.InferenceSession(...))
+        # per-worker init happens here (ONNX: ort.InferenceSession(...));
+        # the token memo persists across Arrow batches, so blake2b + idf
+        # resolution runs once per distinct token per worker
         table = idf.value if hasattr(idf, "value") else idf
+        memo: dict[str, tuple] = {}
         for left, right in it:
-            yield encode_ctx(left, right, table)
+            yield encode_ctx(left, right, table, memo=memo)
 
     return embed
 

@@ -27,6 +27,15 @@ previous mentions via an O(|retract|) tombstone table
 filters with an anti join, and only the clusters that contained a
 retracted mention are re-solved from their surviving edges (node removal
 can split a component — a plain min-merge cannot express that).
+
+A later re-crawl can RE-EMIT a previously retracted mention (a content
+revert: same url/begin/surface => same mention_id at a newer warc_ts).
+That clears the id's tombstone — the stored base row is live again and
+the id re-enters pairing/clustering as a delta member — rather than
+re-appending a duplicate row that the stale tombstone would shadow
+forever. Tombstone lifecycle is therefore: append on retraction,
+compact-out on resurrection; the table scales with re-crawl churn, not
+the corpus.
 """
 
 from __future__ import annotations
@@ -133,6 +142,7 @@ class IncrementalER:
         embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
         retracts = None
+        resurrected = None
         if n_recrawled:
             # previous mentions of re-crawled urls that the new crawl did
             # NOT re-emit are tombstoned; re-emitted ids (same url, begin,
@@ -144,6 +154,30 @@ class IncrementalER:
                 .select("mention_id")
             )
             new_ids = m.select("mention_id")
+            if self.io.exists("retracted_mentions"):
+                # RESURRECTION (a content revert): a re-emitted id that is
+                # currently tombstoned gets its tombstone CLEARED — the
+                # stored base row becomes live again (same span identity
+                # => stored context embedding, the documented re-emission
+                # approximation) — instead of being re-appended, which
+                # would leave the chain with duplicate ids permanently
+                # shadowed by the stale tombstone. The compacted tombstone
+                # table is rewritten in full (it scales with re-crawls,
+                # not the corpus) and the new retractions append onto it.
+                tomb = self.io.read("retracted_mentions")
+                resurrected = (
+                    tomb.join(new_ids, "mention_id", "semi")
+                    .select("mention_id")
+                    .distinct()
+                )
+                if resurrected.count():
+                    self.io.write(
+                        tomb.join(new_ids, "mention_id", "left_anti"),
+                        "retracted_mentions", stage="tombstone_compact",
+                        tag=tag,
+                    )
+                else:
+                    resurrected = None
             r_snap = self.io.write(
                 old_ids.join(new_ids, "mention_id", "left_anti"),
                 "retracted_mentions", stage="retract_delta", append=True,
@@ -153,6 +187,10 @@ class IncrementalER:
                 "retracted_mentions", r_snap.snapshot_id, chain=False
             )
             m = m.join(old_ids, "mention_id", "left_anti")
+            if resurrected is not None:
+                # resurrected ids keep their stored base row — do not
+                # append a second copy
+                m = m.join(resurrected, "mention_id", "left_anti")
         m_snap = self.io.write(
             m, "stage_mention", stage="mention_delta", append=True, tag=tag
         )
@@ -162,6 +200,11 @@ class IncrementalER:
         t0 = time.time()
         delta_m = self.io.read("stage_mention", m_snap.snapshot_id, chain=False)
         delta_ids = delta_m.select("mention_id")
+        if resurrected is not None:
+            # resurrected mentions re-enter pairing/clustering as delta
+            # members: their stored rows are live again but they left the
+            # cluster table when they were retracted
+            delta_ids = delta_ids.unionByName(resurrected).distinct()
         cand = mentions.candidate_entities(delta_m, aliases)
         base_salts = self.io.read("block_salts")
         # new entities (absent from the frozen artifact) get delta-sized
@@ -182,8 +225,18 @@ class IncrementalER:
         # join on a delta-derived key set (tombstoned mentions filtered:
         # a retracted mention must not pair again)
         all_keys = self._live(self.io.read("stage_block"))
+        touch = delta_keys.select("block_key")
+        if resurrected is not None:
+            # resurrected mentions were not re-blocked (their stored keys
+            # are live again) — their blocks are touched too, so they
+            # re-pair against current block members
+            touch = touch.unionByName(
+                all_keys.join(resurrected, "mention_id", "semi").select(
+                    "block_key"
+                )
+            )
         touched_keys = all_keys.join(
-            delta_keys.select("block_key").distinct(), "block_key", "semi"
+            touch.distinct(), "block_key", "semi"
         )
         # Re-apply the block-size cap over the COMBINED base+delta key
         # population (delta_keys alone was capped on delta-only sizes):

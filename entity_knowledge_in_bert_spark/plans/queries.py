@@ -77,38 +77,59 @@ def q(name: str, sql: str | None):
     return deco
 
 
-# Driver-sampling priority (VERDICT r2 "Next round" #2): the verify
-# driver CORRECTNESS-checks a 50-entry sample of the registry; entries
-# that had no driver row in rounds 1-2 are surfaced FIRST so every
-# registered operator gets driver-adjudicated at least once. Purely an
-# ordering hint — membership and semantics are unchanged.
-_DRIVER_PRIORITY = [
-    # oracle-bearing, never driver-checked (r1+r2)
-    "benchmark_conll_eval",
-    "dedup_simhash_near_pairs",
-    "s2_extractor_shards_roundtrip",
-    "s6_partitioned_shards_roundtrip",
-    "f9_map_ops",
-    "o1_global_sort",
-    "a2_entity_frequency",
-    "e2_mention_offsets",
-    "e6_grouped_adjacent_pairs",
-    "e7_label_centroids",
-    "f1_unicode_normalize",
-    "a6_rollup_profile",
-    "j1_redirect_coalesce",
-    # rows-only, never driver-checked
-    "er_incremental_clusters",
-    "er_retract_clusters",
-    "er_extract_hashes",
-    "er_encoder_vecs",
+# Driver-sampling priority (VERDICT r3 "Next round" #1/#8): the verify
+# driver CORRECTNESS-checks a 50-entry sample of the registry in
+# `queries()` order. The ordering is now DATA-DRIVEN from the repo's own
+# CORRECTNESS_r*.json history: (a) queries whose oracle was registered
+# AFTER their last driver row re-check first, then (b) never-checked
+# queries, then (c) stalest-green-first — so every row stays <= 2 rounds
+# old without hand-maintaining a list. Purely an ordering hint —
+# membership and semantics are unchanged.
+
+# Oracle added/changed after the query's last driver row (it would
+# otherwise sort as "green" at its stale round): adjudicate first.
+_RECHECK_FIRST = [
+    "mm_extract_features",  # oracle landed r3; last driver row is r2-era
 ]
 
 
+def _driver_history() -> dict[str, int]:
+    """query name -> most recent driver round that recorded a row for it
+    (from CORRECTNESS_r*.json at the repo root; empty off-repo)."""
+    import glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    hist: dict[str, int] = {}
+    for p in glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for k in data:
+                hist[k] = max(hist.get(k, 0), rnd)
+    return hist
+
+
 def _ordered_names() -> list[str]:
-    head = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
-    head_set = set(head)
-    return head + [n for n in _REGISTRY if n not in head_set]
+    hist = _driver_history()
+    recheck = set(_RECHECK_FIRST)
+    # sort key: recheck-first < never-checked < ascending staleness;
+    # sorted() is stable, so ties keep registration order
+    return sorted(
+        _REGISTRY,
+        key=lambda n: (-2 if n in recheck else hist.get(n, -1)),
+    )
 
 
 def queries():
@@ -1185,7 +1206,11 @@ WITH a AS (
   SELECT doc_id AS asset_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         text,
+         CASE WHEN regexp_matches(text, '^[\\x00-\\x7F]*$') THEN text
+              ELSE error('mm oracle fixture violation: non-ASCII text in '
+                         || 'doc_id=' || CAST(doc_id AS VARCHAR)
+                         || ' (byte-stride oracle requires ASCII)')
+         END AS text,
          octet_length(encode(text)) AS n_bytes,
          sha256(text) AS payload_sha,
          CAST(16 + doc_id % 64 AS INT) AS meta_width,
@@ -1220,9 +1245,11 @@ def mm_extract_features(spark, sf_dir):
     closed form over payload byte strides (operators/multimodal.py
     ``_fake_decode``), so the oracle reproduces it with DuckDB list
     lambdas: byte i of the utf-8 payload == unicode code point of char
-    i+1 because the driver documents tables are pure ASCII (verified at
-    sf0.001/sf0.01); a real-codec deployment would drop the oracle and
-    keep the rows-only check."""
+    i+1 — valid ONLY for pure-ASCII documents, and ENFORCED in the
+    oracle's first CTE (ADVICE r3): a non-ASCII document raises a
+    DuckDB error naming the doc_id, so a fixture drift surfaces as a
+    fixture violation, not a silent engine hash-mismatch. A real-codec
+    deployment would drop the oracle and keep the rows-only check."""
     from ..operators.multimodal import extract_features, synth_assets
 
     return extract_features(synth_assets(T(spark, sf_dir, "documents")))

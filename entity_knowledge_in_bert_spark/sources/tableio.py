@@ -363,6 +363,28 @@ class TableIO:
             json.dump(rec, f, indent=1)
         os.replace(tmp, p)
 
+    def try_rollback_tag(self, tag: str) -> int:
+        """Backend-aware rollback: on the parquet backend, drop the tag's
+        partial snapshots (full exactly-once). On the Iceberg catalog
+        backend — where tag rollback needs WAP/branch commits that are
+        not wired in this sandbox — WARN and return 0 instead of failing
+        the stream on its first micro-batch: semantics degrade to
+        at-least-once for the one replayed-after-crash batch (ADVICE r3;
+        a crash-free run is unaffected, and fully-committed batches are
+        still skipped via merge_complete)."""
+        if self.catalog:
+            import warnings
+
+            warnings.warn(
+                "tag rollback is not wired on the Iceberg catalog backend; "
+                f"skipping rollback of tag {tag!r} — a replayed partially-"
+                "committed micro-batch degrades to at-least-once",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return 0
+        return self.rollback_tag(tag)
+
     def rollback_tag(self, tag: str) -> int:
         """Drop every snapshot labeled ``tag`` from every table manifest
         (the partial work of a failed merge attempt); returns the number

@@ -203,7 +203,10 @@ def stream_incremental_er(
         tag = f"stream-{ckpt_id}-batch-{batch_id}"
         if io.merge_complete(tag):
             return  # replay of a fully-committed batch: skip
-        io.rollback_tag(tag)  # drop partial snapshots of a crashed attempt
+        # drop partial snapshots of a crashed attempt; on the Iceberg
+        # catalog backend this is a warned no-op (at-least-once for the
+        # one replayed batch) instead of a hard failure — ADVICE r3
+        io.try_rollback_tag(tag)
         IncrementalER(spark, io).merge(batch_df, tag=tag)
         io.mark_merge_complete(tag)
     q = (

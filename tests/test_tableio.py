@@ -222,6 +222,35 @@ def test_iceberg_rollback_not_implemented(tmp_path):
         io2.rollback_tag("x")
 
 
+def test_iceberg_try_rollback_is_warned_noop(tmp_path):
+    """The STREAMING fold path must not fail on the catalog backend just
+    because WAP rollback isn't wired: try_rollback_tag warns and returns
+    0 there (degraded at-least-once for one replayed batch), while the
+    parquet backend keeps full rollback (ADVICE r3)."""
+    import warnings
+
+    from entity_knowledge_in_bert_spark.sources.tableio import TableIO
+
+    io2 = TableIO(_IcebergSpark(), str(tmp_path / "iwh4"), catalog="ice")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert io2.try_rollback_tag("x") == 0
+    assert any("at-least-once" in str(x.message) for x in w)
+
+
+def test_parquet_try_rollback_delegates(spark, tmp_path):
+    """On the parquet backend try_rollback_tag IS rollback_tag."""
+    from entity_knowledge_in_bert_spark.sources.tableio import TableIO
+
+    io2 = TableIO(spark, str(tmp_path / "wh_tr"))
+    io2.write(spark.range(3), "t", stage="s", tag="bX")
+    assert io2.try_rollback_tag("bX") == 1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        io2.read("t")
+
+
 def test_default_driver_mem_derivation():
     """min(48g, ~70% of MemTotal): full-size hosts keep the measured 48g
     working-set sizing, small hosts degrade to spill instead of an
