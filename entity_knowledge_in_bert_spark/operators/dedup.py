@@ -25,6 +25,29 @@ from ..functions.text import word_shingles_sql
 MINHASH_K = 8
 BAND_ROWS = 2  # 4 bands x 2 rows
 
+# Bucket-size cap for the banded self-joins (VERDICT r3 #4): AQE's skew
+# join splits an oversized PARTITION but cannot bound the OUTPUT of a
+# degenerate bucket — 10^6 boilerplate docs sharing a band hash would
+# emit ~10^12/2 pairs. Buckets above the cap are dropped from pairing
+# (an audited recall trade, mirroring blocking.cap_by_size on the ER
+# path; see band_bucket_audit). Mass-duplicated content dropped here is
+# exactly what exact_dup_groups (linear sha256 groupBy) catches anyway —
+# run it first and near-dup only the exact-distinct survivors.
+MAX_BAND_BUCKET = 1024
+
+
+def _cap_bucket(keyed: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows of buckets whose population exceeds ``max_bucket`` —
+    one window over the partitioning the self-join shuffles on anyway."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        keyed.withColumn("_bsize", F.count("*").over(w))
+        .filter(F.col("_bsize") <= F.lit(max_bucket))
+        .drop("_bsize")
+    )
+
 
 def with_exact_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup key: sha256 of the raw text."""
@@ -66,10 +89,10 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS, id_col: str = "doc_id"
+def _minhash_band_keys(
+    sigs: DataFrame, k: int, rows: int, id_col: str
 ) -> DataFrame:
-    """Band the signatures, bucket-join, dedup -> (doc_a, doc_b)."""
+    """(id, band_id, band_hash) — one row per (doc, band)."""
     n_bands = k // rows
     bands = []
     for b in range(n_bands):
@@ -80,9 +103,26 @@ def lsh_candidate_pairs(
                 F.sha2(F.concat_ws(",", *parts), 256).alias("band_hash"),
             )
         )
-    keyed = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bk")
     ).select(id_col, F.col("bk.band_id"), F.col("bk.band_hash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    k: int = MINHASH_K,
+    rows: int = BAND_ROWS,
+    id_col: str = "doc_id",
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Band the signatures, bucket-join, dedup -> (doc_a, doc_b).
+
+    Buckets larger than ``max_bucket`` are dropped BEFORE the self-join
+    (quadratic-output guard; audited via :func:`band_bucket_audit`);
+    ``max_bucket=None`` disables the cap."""
+    keyed = _minhash_band_keys(sigs, k, rows, id_col)
+    if max_bucket is not None:
+        keyed = _cap_bucket(keyed, ["band_id", "band_hash"], max_bucket)
     a = keyed.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )
@@ -94,6 +134,28 @@ def lsh_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def band_bucket_audit(
+    sigs: DataFrame,
+    k: int = MINHASH_K,
+    rows: int = BAND_ROWS,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """PRE-cap band-bucket histogram with the cap decision made visible:
+    (bucket_size, n_buckets, dropped) — every bucket lsh_candidate_pairs
+    silently removes shows up here with dropped = true (the dedup-family
+    mirror of blocking.block_audit)."""
+    keyed = _minhash_band_keys(sigs, k, rows, id_col)
+    return (
+        keyed.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .withColumn("dropped", F.col("bucket_size") > F.lit(max_bucket))
+        .orderBy("bucket_size")
     )
 
 
@@ -197,7 +259,11 @@ def simhash64_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sums.select(*cols)
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance via banded
     multi-probe LSH over the output of :func:`simhash64_bands`.
 
@@ -207,7 +273,12 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     of the 4 bands, so at least one band matches exactly -> recall 1.0
     for max_hamming <= 3 (asserted vs brute force in test_dedup_ann).
     At corpus scale each 16-bit band value spreads docs over 65k buckets
-    per band; AQE skew-join covers pathological bucket skew.
+    per band; AQE skew-join splits oversized partitions, and buckets
+    larger than ``max_bucket`` are dropped outright before the join
+    (same quadratic-output guard as lsh_candidate_pairs — a degenerate
+    band value shared by 10^6 docs is boilerplate, not near-dup signal;
+    the drop narrows the pigeonhole guarantee to pairs outside capped
+    buckets). ``max_bucket=None`` disables the cap.
     """
     if max_hamming > N_SIMHASH_BANDS - 1:
         raise ValueError(
@@ -226,6 +297,8 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     keyed = sim.select("doc_id", *band_cols, F.explode(bands).alias("bk")).select(
         "doc_id", *band_cols, F.col("bk.band_id"), F.col("bk.val")
     )
+    if max_bucket is not None:
+        keyed = _cap_bucket(keyed, ["band_id", "val"], max_bucket)
     a = keyed.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"band{k}").alias(f"a{k}") for k in range(N_SIMHASH_BANDS)],
@@ -288,17 +361,33 @@ def near_dup_keep_list(
 
 
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, block_col: str = "label"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    max_block_size: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
-    """Embedding-cosine near-dup within blocks -> (vec_a, vec_b, cos)."""
+    """Embedding-cosine near-dup within blocks -> (vec_a, vec_b, cos).
+
+    This is the EXACT-VERIFY step over an already-blocked candidate set:
+    within-block all-pairs, so a block of n vectors emits n^2/2 cosines.
+    Blocks larger than ``max_block_size`` are dropped before the join
+    (``None`` disables). At web scale do NOT point this at a coarse
+    block column (10^8-vector blocks are quadratic even partitioned) —
+    route bulk traffic through ``ann.ivf_topk`` / ``ann.anchor_lsh_topk``
+    (bucketed top-k, linear in corpus size) and use this operator to
+    verify their candidate pairs exactly.
+    """
     from ..functions.similarity import cosine_sql
 
-    a = emb.select(
+    blocked = emb
+    if max_block_size is not None:
+        blocked = _cap_bucket(emb, [block_col], max_block_size)
+    a = blocked.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col(block_col).alias("blk"),
     )
-    b = emb.select(
+    b = blocked.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col(block_col).alias("blk"),

@@ -757,6 +757,38 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sigs)
 
 
+@q(
+    "dedup_band_audit",
+    f"WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, "
+    """
+mh AS (
+  SELECT doc_id, i,
+         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles CROSS JOIN range(8) r(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 2 AS band_id,
+         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
+  FROM mh GROUP BY doc_id, i // 2),
+buckets AS (
+  SELECT band_id, band_hash, COUNT(*) AS bucket_size
+  FROM bands GROUP BY band_id, band_hash)
+SELECT bucket_size, COUNT(*) AS n_buckets, bucket_size > 1024 AS dropped
+FROM buckets GROUP BY bucket_size ORDER BY bucket_size
+""",
+)
+def dedup_band_audit(spark, sf_dir):
+    """VERDICT r3 #4: PRE-cap band-bucket histogram — every bucket the
+    capped lsh_candidate_pairs silently removes is visible here with
+    dropped = true (the dedup mirror of er_block_size_histogram, but
+    value-checked: the histogram is pure SQL)."""
+    from ..operators.dedup import band_bucket_audit, minhash_signatures, word_shingles
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(word_shingles(corpus))
+    return band_bucket_audit(sigs)
+
+
 # Transitive closure over the MinHash-LSH edges of the dup-injected
 # corpus: shared by cc_lsh_clusters (batch CC) and incr_cc_merge
 # (incremental CC) — both must produce exactly this partition.

@@ -43,6 +43,65 @@ def test_lsh_recalls_exact_and_near_dups(spark, sf_dir):
     assert missed <= expected.count() * 0.1, f"missed {missed}"
 
 
+def test_degenerate_bucket_is_capped_and_audited(spark):
+    """VERDICT r3 #4: 1k byte-identical docs share every band hash; an
+    uncapped banded self-join would emit ~1k^2/2 * 4 bands pairs. The cap
+    bounds the output to the non-degenerate remainder, and the audit
+    makes the dropped bucket visible (dropped=true at its pre-cap
+    size)."""
+    boiler = spark.range(1500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("copy pasted cookie banner text shared by every page").alias(
+            "text"
+        ),
+    )
+    normal = spark.range(5000, 5010).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id"),
+                 F.lit(" with distinct content words")).alias("text"),
+    )
+    corpus = boiler.unionByName(normal)
+    sigs = dedup.minhash_signatures(dedup.word_shingles(corpus))
+    capped = dedup.lsh_candidate_pairs(sigs)  # default cap
+    uncapped = dedup.lsh_candidate_pairs(sigs, max_bucket=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped >= 1500 * 1499 // 2  # the quadratic blowup is real
+    assert n_capped < 1000  # bounded: degenerate bucket dropped
+    audit = dedup.band_bucket_audit(sigs)
+    dropped = audit.filter(F.col("dropped")).collect()
+    assert dropped and all(r["bucket_size"] == 1500 for r in dropped)
+    # sanity on the capped remainder: no pair involves two boiler docs
+    assert capped.filter(
+        (F.col("doc_a") < 1500) & (F.col("doc_b") < 1500)
+    ).count() == 0
+
+
+def test_degenerate_simhash_bucket_is_capped(spark):
+    """Same guard on the simhash banded join."""
+    boiler = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate words for simhash banding").alias("text"),
+    )
+    sim = dedup.simhash64_bands(boiler)
+    assert dedup.simhash_near_pairs(sim).count() == 0  # capped out
+    assert (
+        dedup.simhash_near_pairs(sim.limit(50), max_bucket=None).count()
+        == 50 * 49 // 2
+    )
+
+
+def test_oversized_embedding_block_is_capped(spark):
+    """embedding_near_dups drops blocks beyond max_block_size (the
+    exact-verify operator must not go quadratic on a coarse block)."""
+    emb = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.lit("one_block").alias("label"),
+    )
+    assert dedup.embedding_near_dups(emb, max_block_size=100).count() == 0
+    assert dedup.embedding_near_dups(emb.limit(20)).count() == 20 * 19 // 2
+
+
 def test_simhash_near_for_near_dups_far_for_random(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text").limit(200)
     near = d.select(
