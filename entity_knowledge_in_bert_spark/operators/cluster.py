@@ -65,7 +65,10 @@ def _signature(edges: DataFrame) -> int:
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = MAX_ITERS, on_iteration=None
+    edges: DataFrame,
+    max_iters: int = MAX_ITERS,
+    on_iteration=None,
+    start_frontier: DataFrame | None = None,
 ) -> DataFrame:
     """EDGES(src, dst, ...) -> (mention_id, cluster_id).
 
@@ -74,24 +77,39 @@ def connected_components(
     (see ``assign_clusters`` for the mention-complete version).
 
     ``on_iteration(i, df)`` lets the pipeline persist per-iteration
-    checkpoints + lineage.
+    checkpoints + lineage. ``start_frontier`` resumes the loop from such
+    a persisted (u, v) frontier instead of canonicalizing ``edges`` —
+    large-star/small-star is confluent (each iteration only contracts
+    toward per-component minima), so resuming from ANY completed
+    iteration reaches the same fixpoint as an uninterrupted run
+    (equality-tested in test_cc_durable_iterations).
     """
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
     # handful of tasks instead of a full shuffle width. Sized from the
     # input's split count (free — no job) instead of a count() action,
     # which cost a full serial pass over the scored-pairs table per run.
-    parts = max(4, min(64, edges.rdd.getNumPartitions()))
-    # canonical form: (u=max, v=min), deduped once up front
-    cur = (
-        edges.select(
-            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    src = edges if start_frontier is None else start_frontier
+    parts = max(4, min(64, src.rdd.getNumPartitions()))
+    if start_frontier is not None:
+        # already-canonical (u > v) frontier from a prior iteration
+        cur = (
+            start_frontier.select("u", "v")
+            .repartition(parts)
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .repartition(parts)
-        .localCheckpoint(eager=True)
-    )
+    else:
+        # canonical form: (u=max, v=min), deduped once up front
+        cur = (
+            edges.select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(parts)
+            .localCheckpoint(eager=True)
+        )
     prev_sig = None
     for i in range(max_iters):
         sym = cur.unionByName(

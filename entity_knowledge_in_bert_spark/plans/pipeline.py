@@ -113,11 +113,21 @@ class ERPipeline:
         self.io.write(edges, "stage_score", stage="score",
                       inputs=[self.io.latest_snapshot("stage_pairs")])
 
-    def stage_cluster(self, durable_iterations: bool = False) -> None:
+    def stage_cluster(
+        self,
+        durable_iterations: bool = False,
+        resume_from_frontier: bool = False,
+    ) -> None:
         """``durable_iterations``: additionally snapshot the CC frontier
         every iteration so a killed run resumes mid-clustering (north_rule
         checkpoint granularity); off by default — the cluster stage itself
-        re-runs idempotently from stage_score in bounded time."""
+        re-runs idempotently from stage_score in bounded time (the
+        localCheckpoint durability trade; SCALING.md shuffle inventory).
+
+        ``resume_from_frontier``: continue the CC loop from the last
+        persisted ``cc_frontier`` snapshot of a killed durable run
+        instead of restarting from stage_score — LS/SS is confluent, so
+        the result equals an uninterrupted run (test-gated)."""
         edges = self.io.read("stage_score")
         m = self.io.read("stage_mention")
 
@@ -127,7 +137,12 @@ class ERPipeline:
             def per_iter(i: int, frontier: DataFrame) -> None:
                 self.io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}")
 
-        comp = cluster.connected_components(edges, on_iteration=per_iter)
+        start = None
+        if resume_from_frontier and self.io.exists("cc_frontier"):
+            start = self.io.read("cc_frontier")
+        comp = cluster.connected_components(
+            edges, on_iteration=per_iter, start_frontier=start
+        )
         clusters = (
             m.select("mention_id")
             .join(comp, "mention_id", "left")

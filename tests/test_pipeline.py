@@ -136,3 +136,86 @@ def test_bucketed_mentions_pipeline_identical(spark, pipeline_run, tmp_path_fact
     a = {(r["mention_id"], r["cluster_id"]) for r in clusters.collect()}
     b = {(r["mention_id"], r["cluster_id"]) for r in clusters2.collect()}
     assert a == b
+
+
+def test_onnx_encoder_branch_session_lifecycle(spark):
+    """VERDICT r3 #6: drive the production ONNX-shaped encoder branch
+    with a FAKE InferenceSession (cloudpickled by value into the
+    workers): asserts (a) exactly one session init per partition task —
+    not one per Arrow batch, (b) the (batch, max_tokens) int64 batch
+    shape reaches run(), (c) outputs are the L2-normalized float32 of
+    whatever the session returned."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from entity_knowledge_in_bert_spark.operators.encoder import (
+        hash_token_ids,
+        make_onnx_encoder_udf,
+    )
+
+    MAXTOK = 16
+
+    class FakeSession:
+        inits = 0  # per-process; each worker unpickles its own class copy
+
+        def __init__(self, path, providers=None):
+            assert path == "/models/encoder.onnx"
+            assert providers == ["CPUExecutionProvider"]
+            type(self).inits += 1
+
+        def run(self, outs, feeds):
+            assert outs is None
+            ids = feeds["input_ids"]
+            assert ids.dtype == np.int64 and ids.ndim == 2
+            assert ids.shape[1] == MAXTOK
+            n = ids.shape[0]
+            # deterministic fake logits: (init_count, first_id, id_sum)
+            out = np.stack(
+                [
+                    np.full(n, type(self).inits, dtype="float64"),
+                    ids[:, 0].astype("float64"),
+                    ids.sum(axis=1).astype("float64"),
+                ],
+                axis=1,
+            )
+            return [out]
+
+    class FakeOrt:
+        InferenceSession = FakeSession
+
+    udf = make_onnx_encoder_udf(
+        "/models/encoder.onnx", max_tokens=MAXTOK, ort_module=FakeOrt()
+    )
+    df = (
+        spark.range(50)
+        .select(
+            F.concat(F.lit("left ctx tok"), F.col("id")).alias("l"),
+            F.concat(F.lit("right ctx"), F.col("id")).alias("r"),
+        )
+        .repartition(1)  # one task -> several small Arrow batches
+    )
+    # several Arrow batches through ONE iterator: init must still be 1
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        rows = df.withColumn("vec", udf(F.col("l"), F.col("r"))).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(rows) == 50
+    for row in rows:
+        v = np.asarray(row["vec"], dtype="float64")
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-6  # L2-normalized
+    # vec[0] encodes the session-init count seen by that row's batch:
+    # == 1 everywhere iff the session was created once, before the loop
+    init_counts = {
+        round(np.asarray(r["vec"])[0] / np.asarray(r["vec"])[2], 6)
+        for r in rows
+    }
+    # normalize: vec = (inits, id0, idsum)/norm -> inits = vec0/vec2*idsum
+    expected = set()
+    pdf = df.toPandas()
+    ids = hash_token_ids(pdf["l"], pdf["r"], MAXTOK)
+    for k in range(len(pdf)):
+        raw = np.array([1.0, ids[k, 0], ids[k].sum()])
+        expected.add(round((raw / np.linalg.norm(raw))[0] / (raw / np.linalg.norm(raw))[2], 6))
+    assert init_counts == expected  # inits==1 reproduced exactly
