@@ -83,21 +83,55 @@ def main() -> None:
             datagen.gen_pages_df(spark, n_pages)
         )
         cold["er_pipeline_warmup"] = round(time.time() - t0, 3)
+    # Trustworthy-record protocol (VERDICT r3 #3): this sandbox's
+    # hypervisor steals CPU in bursts, so single-shot timings swing 2-3x
+    # and even a median-of-5 can land on a noisy window (the r3 driver
+    # record: spread 3.1x, every constant-work query inflated ~+40%
+    # uniformly). Mitigations, all visible in the output:
+    #   * median AND min of N warm runs (min is the noise-floor number —
+    #     steady-state of a long job tracks it, not the stolen-CPU tail);
+    #   * per-stage MEDIANS across runs (stages of the one median run
+    #     conflate same-run noise into stage deltas);
+    #   * adaptive re-runs: if warm spread > 1.3x, run up to
+    #     SPARK_GRAFT_BENCH_MAX_EXTRA (default 3) more runs so a noise
+    #     burst widens the sample instead of defining the record;
+    #   * er_spread itself is reported — a high value flags the record
+    #     as host-noise-contaminated for round-over-round comparison.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    er_runs: list[tuple[float, dict[str, float]]] = []
-    for _ in range(n_runs):
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3"))
+
+    def one_er_run() -> tuple[float, dict[str, float]]:
         t0 = time.time()
         pages = datagen.gen_pages_df(spark, n_pages)
         with tempfile.TemporaryDirectory(prefix="bench_wh_") as wh:
             pipe = ERPipeline(spark, TableIO(spark, wh))
             pipe.run(pages)
-            er_runs.append((
+            return (
                 round(time.time() - t0, 3),
                 {k: round(v, 3) for k, v in pipe.timings.items()},
-            ))
-    # median by wall time only — tied floats must not fall through to
-    # comparing the stage dicts (TypeError)
-    er_sec, stage_sec = sorted(er_runs, key=lambda r: r[0])[len(er_runs) // 2]
+            )
+
+    er_runs: list[tuple[float, dict[str, float]]] = []
+    for _ in range(n_runs):
+        er_runs.append(one_er_run())
+
+    def spread() -> float:
+        walls = [r[0] for r in er_runs]
+        return max(walls) / max(min(walls), 1e-9)
+
+    extra = 0
+    while spread() > 1.3 and extra < max_extra:
+        er_runs.append(one_er_run())
+        extra += 1
+
+    walls = sorted(r[0] for r in er_runs)
+    er_sec = walls[len(walls) // 2]  # median by wall time only
+    er_min = walls[0]
+    stage_names = er_runs[0][1].keys()
+    stage_median = {
+        s: round(sorted(r[1][s] for r in er_runs)[len(er_runs) // 2], 3)
+        for s in stage_names
+    }
     timings["er_pipeline"] = er_sec
 
     total = round(sum(timings.values()), 3)
@@ -111,7 +145,11 @@ def main() -> None:
                 "sf": sf,
                 "er_pipeline_pages": n_pages,
                 "er_docs_per_sec": round(n_pages / er_sec, 1),
-                "er_stage_sec": stage_sec,
+                "er_pipeline_min": er_min,
+                "er_docs_per_sec_at_min": round(n_pages / er_min, 1),
+                "er_spread": round(spread(), 2),
+                "er_extra_runs": extra,
+                "er_stage_median_sec": stage_median,
                 "er_runs_sec": [r[0] for r in er_runs],
                 "cold_first_run_sec": cold,
             }

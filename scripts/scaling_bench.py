@@ -59,12 +59,23 @@ def main() -> None:
             rec = run_once(cpus, args.n_pages)
             results[cpus].append(rec)
             print(f"local[{cpus}] run {i}: wall={rec['wall_sec']}s "
-                  f"docs/s={rec['docs_per_sec']}", flush=True)
+                  f"docs/s={rec['docs_per_sec']} "
+                  f"stages={json.dumps(rec.get('stage_sec', {}))}", flush=True)
 
     med = {
         cpus: statistics.median(r["wall_sec"] for r in runs)
         for cpus, runs in results.items()
     }
+    # per-stage medians across runs (mention-stage wall is the VERDICT r3
+    # vectorization evidence point)
+    stage_med = {
+        cpus: {
+            s: round(statistics.median(r["stage_sec"][s] for r in runs), 2)
+            for s in runs[0].get("stage_sec", {})
+        }
+        for cpus, runs in results.items()
+    }
+    print("stage medians:", json.dumps(stage_med), flush=True)
     lo, hi = args.cpus
     tput = {c: args.n_pages / med[c] for c in args.cpus}
     efficiency = (tput[hi] / tput[lo]) / (hi / lo)
