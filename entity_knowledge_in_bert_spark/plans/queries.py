@@ -87,10 +87,11 @@ def q(name: str, sql: str | None):
 # membership and semantics are unchanged.
 
 # Oracle added/changed after the query's last driver row (it would
-# otherwise sort as "green" at its stale round): adjudicate first.
-_RECHECK_FIRST = [
-    "mm_extract_features",  # oracle landed r3; last driver row is r2-era
-]
+# otherwise sort as "green" at its stale round): adjudicate first UNTIL
+# a driver round >= the oracle's landing round has recorded a row.
+_RECHECK_FIRST = {
+    "mm_extract_features": 3,  # oracle landed r3; last driver row was r2
+}
 
 
 def _driver_history() -> dict[str, int]:
@@ -123,13 +124,15 @@ def _driver_history() -> dict[str, int]:
 
 def _ordered_names() -> list[str]:
     hist = _driver_history()
-    recheck = set(_RECHECK_FIRST)
     # sort key: recheck-first < never-checked < ascending staleness;
     # sorted() is stable, so ties keep registration order
-    return sorted(
-        _REGISTRY,
-        key=lambda n: (-2 if n in recheck else hist.get(n, -1)),
-    )
+    def key(n: str) -> int:
+        last = hist.get(n, -1)
+        if last < _RECHECK_FIRST.get(n, -(10**9)):
+            return -2  # stale oracle: pin ahead until re-adjudicated
+        return last
+
+    return sorted(_REGISTRY, key=key)
 
 
 def queries():
