@@ -35,3 +35,26 @@ def test_spark_submit_py_files(tmp_path):
     assert set(rec["stage_sec"]) == {
         "extract", "mention", "block", "pairs", "score", "cluster"
     }
+
+
+def test_registry_order_is_staleness_driven(tmp_path, monkeypatch):
+    """The driver samples the first 50 queries() entries; ordering must
+    put recheck-pinned and stalest-checked rows first, and the pin must
+    EXPIRE once a driver round >= the oracle's landing round records a
+    row (r4 contract)."""
+    from entity_knowledge_in_bert_spark.plans import queries as Q
+
+    hist = dict(Q._driver_history())
+    names = Q._ordered_names()
+    assert len(names) == len(Q._REGISTRY)
+    # pinned row leads while its pin round is unmet
+    for pinned, landed in Q._RECHECK_FIRST.items():
+        if pinned in Q._REGISTRY and hist.get(pinned, -1) < landed:
+            assert names[0] == pinned or hist.get(names[0], -1) < 0
+    # staleness is non-decreasing outside pinned/never-checked rows
+    staleness = [
+        hist.get(n, -1)
+        for n in names
+        if n not in Q._RECHECK_FIRST and hist.get(n, -1) >= 0
+    ]
+    assert staleness == sorted(staleness)
