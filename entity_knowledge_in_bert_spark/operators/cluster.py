@@ -24,6 +24,47 @@ from pyspark.sql import functions as F
 
 MAX_ITERS = 50
 
+# Frontier partition sizing (VERDICT r4 #1): ~2M canonical edges per
+# partition keeps each LS/SS task's shuffle block in the tens of MB —
+# small enough to sort in memory, large enough that a sandbox frontier
+# schedules a handful of tasks instead of a full shuffle width. The old
+# `min(64, input splits)` clamp right-sized tiny frontiers but became a
+# hard ceiling at scale: a 100 TB edge table arrives with thousands of
+# splits and a frontier that 64 partitions cannot hold without spill.
+EDGES_PER_PARTITION = 2_000_000
+MAX_FRONTIER_PARTITIONS = 65_536
+
+
+def _frontier_partitions(src: DataFrame, n_edges: int | None) -> int:
+    """Partition count for the CC frontier: sized from the edge count
+    when the caller knows it (the pipeline reads it from the stage_score
+    manifest — free, no job), else from the input's split count. No
+    fixed ceiling — scale with the data, bounded only by a sanity cap."""
+    if n_edges is not None and n_edges > 0:
+        est = -(-int(n_edges) // EDGES_PER_PARTITION)  # ceil div
+    else:
+        est = src.rdd.getNumPartitions()
+    return max(4, min(MAX_FRONTIER_PARTITIONS, est))
+
+
+def _release_stale_checkpoints(sc, base_ids: set, keep_id_holder: list) -> None:
+    """Unpersist every locally-checkpointed frontier RDD this CC run
+    created EXCEPT the newest one (the live frontier). Without this, a
+    long CC run accumulates one MEMORY_AND_DISK-cached RDD per iteration
+    until the context cleaner happens to run — at the 1.6M-page probe
+    that pressure is the super-linear cluster-stage growth BASELINE.md
+    flagged (r5 watch item). RDD ids are monotonically increasing, so
+    "ours except the max id" is exactly "all stale frontiers"."""
+    persistent = dict(sc._jsc.getPersistentRDDs())
+    ours = {rid: rdd for rid, rdd in persistent.items() if rid not in base_ids}
+    if not ours:
+        return
+    newest = max(ours)
+    keep_id_holder[:] = [newest]
+    for rid, rdd in ours.items():
+        if rid != newest:
+            rdd.unpersist(False)
+
 
 def _symmetric(edges: DataFrame) -> DataFrame:
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -69,6 +110,7 @@ def connected_components(
     max_iters: int = MAX_ITERS,
     on_iteration=None,
     start_frontier: DataFrame | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """EDGES(src, dst, ...) -> (mention_id, cluster_id).
 
@@ -86,11 +128,17 @@ def connected_components(
     """
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
-    # handful of tasks instead of a full shuffle width. Sized from the
-    # input's split count (free — no job) instead of a count() action,
-    # which cost a full serial pass over the scored-pairs table per run.
+    # handful of tasks instead of a full shuffle width — but scale with
+    # the edge count (``n_edges``, free from the stage_score manifest),
+    # not a constant: the old min(..., 64) clamp right-sized sandbox
+    # frontiers but became the ceiling on every LS/SS iteration at 100x
+    # (VERDICT r4 #1). Falls back to the input's split count (free — no
+    # job) when the caller doesn't know the count.
     src = edges if start_frontier is None else start_frontier
-    parts = max(4, min(64, src.rdd.getNumPartitions()))
+    parts = _frontier_partitions(src, n_edges)
+    sc = src.sparkSession.sparkContext
+    base_ids = set(dict(sc._jsc.getPersistentRDDs()))
+    live_ckpt: list = []
     if start_frontier is not None:
         # already-canonical (u > v) frontier from a prior iteration
         cur = (
@@ -128,6 +176,11 @@ def connected_components(
         # rounds, so per-round checks mostly measure scheduling overhead)
         if i % 2 == 1:
             sig = _signature(cur)
+            # the signature job fully materialized `cur` (and any lazy
+            # checkpoint it chained through): every older frontier is
+            # now dead weight in the block manager — release it so CC
+            # memory stays O(frontier), not O(frontier x iterations)
+            _release_stale_checkpoints(sc, base_ids, live_ckpt)
             if sig == prev_sig:
                 break
             prev_sig = sig

@@ -127,21 +127,36 @@ class ERPipeline:
         ``resume_from_frontier``: continue the CC loop from the last
         persisted ``cc_frontier`` snapshot of a killed durable run
         instead of restarting from stage_score — LS/SS is confluent, so
-        the result equals an uninterrupted run (test-gated)."""
+        the result equals an uninterrupted run (test-gated). The frontier
+        snapshot records which stage_score snapshot it was derived from;
+        a frontier whose lineage does not match the CURRENT stage_score
+        snapshot (re-scored, deltas appended) is STALE and is ignored —
+        resuming from it would silently cluster the old edge set
+        (ADVICE r4: connected_components discards its edges argument when
+        start_frontier is set)."""
+        score_snap = self.io.latest_snapshot("stage_score")
         edges = self.io.read("stage_score")
         m = self.io.read("stage_mention")
+        # manifest row count of stage_score == edge count: sizes the CC
+        # frontier partitioning for free (no count() job, no 64-part clamp)
+        n_edges = self.io.snapshot_entry("stage_score")["rows"]
 
         per_iter = None
         if durable_iterations:
 
             def per_iter(i: int, frontier: DataFrame) -> None:
-                self.io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}")
+                self.io.write(frontier, "cc_frontier",
+                              stage=f"cluster_iter{i}", inputs=[score_snap])
 
         start = None
         if resume_from_frontier and self.io.exists("cc_frontier"):
-            start = self.io.read("cc_frontier")
+            frontier_inputs = self.io.snapshot_entry("cc_frontier")["inputs"]
+            if frontier_inputs == [score_snap]:
+                start = self.io.read("cc_frontier")
+            # else: stale frontier (stage_score moved on, or a pre-lineage
+            # frontier with no recorded inputs) — fall back to a fresh run
         comp = cluster.connected_components(
-            edges, on_iteration=per_iter, start_frontier=start
+            edges, on_iteration=per_iter, start_frontier=start, n_edges=n_edges
         )
         clusters = (
             m.select("mention_id")

@@ -269,6 +269,21 @@ class TableIO:
         snaps = [s for s in self._load_manifest(table)["snapshots"] if s["complete"]]
         return snaps[-1]["snapshot_id"] if snaps else None
 
+    def snapshot_entry(self, table: str, snapshot_id: str | None = None) -> dict:
+        """Manifest entry (rows, inputs, schema, ...) for a snapshot
+        (default: latest complete). Driver-side metadata only — this is
+        how consumers get row counts and input lineage for FREE (no Spark
+        job), e.g. the cluster stage sizes its CC frontier partitioning
+        from stage_score's recorded row count."""
+        snaps = [
+            s
+            for s in self._load_manifest(table)["snapshots"]
+            if s["complete"] and (snapshot_id is None or s["snapshot_id"] == snapshot_id)
+        ]
+        if not snaps:
+            raise FileNotFoundError(f"table {table} has no matching snapshot")
+        return snaps[-1]
+
     def exists(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None
 

@@ -37,8 +37,13 @@ def test_cc_kill_resume_equals_uninterrupted(spark, tmp_path):
     }
 
     # "killed" run: only the first iteration completes, frontier durable
+    # (inputs records the stage_score snapshot the frontier derives from,
+    # exactly as the pipeline's per_iter does — ADVICE r4 lineage guard)
+    score_snap = io.latest_snapshot("stage_score")
+
     def per_iter(i, frontier):
-        io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}")
+        io.write(frontier, "cc_frontier", stage=f"cluster_iter{i}",
+                 inputs=[score_snap])
 
     cluster.connected_components(
         edges, max_iters=1, on_iteration=per_iter
@@ -67,3 +72,40 @@ def test_cc_kill_resume_equals_uninterrupted(spark, tmp_path):
         ).collect()
     }
     assert table == full
+
+
+def test_stale_frontier_is_refused_after_rescore(spark, tmp_path):
+    """ADVICE r4 (medium): a cc_frontier whose lineage doesn't match the
+    CURRENT stage_score snapshot must be ignored on resume — resuming
+    from it would silently cluster the stale edge set (the frontier
+    replaces the edges argument entirely). After a re-score, the
+    pipeline must fall back to a fresh run over the new edges."""
+    from entity_knowledge_in_bert_spark.operators import cluster
+
+    io = TableIO(spark, str(tmp_path / "wh_stale"))
+    pipe = ERPipeline(spark, io)
+    pipe.run(datagen.gen_pages_df(spark, 80), to_stage="score")
+    # durable clustering run leaves a cc_frontier tied to this stage_score
+    pipe.stage_cluster(durable_iterations=True)
+    assert io.snapshot_entry("cc_frontier")["inputs"] == [
+        io.latest_snapshot("stage_score")
+    ]
+
+    # re-score: grow the corpus so the edge set actually changes
+    pipe.run(datagen.gen_pages_df(spark, 120), to_stage="score")
+    new_score = io.latest_snapshot("stage_score")
+    assert io.snapshot_entry("cc_frontier")["inputs"] != [new_score]
+
+    # resume request with a stale frontier -> fresh run over NEW edges
+    pipe.stage_cluster(resume_from_frontier=True)
+    table = {
+        (r["mention_id"], r["cluster_id"])
+        for r in io.read("stage_cluster").collect()
+    }
+    expect = {
+        (r["mention_id"], r["cluster_id"])
+        for r in cluster.assign_clusters(
+            io.read("stage_mention"), io.read("stage_score", new_score)
+        ).collect()
+    }
+    assert table == expect

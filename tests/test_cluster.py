@@ -95,3 +95,46 @@ def test_cluster_size_histogram(spark):
     hist = {r["cluster_size"]: r["n_clusters"]
             for r in cluster_size_histogram(clusters).collect()}
     assert hist == {1: 1, 2: 1, 3: 1}
+
+
+def test_frontier_partition_sizing_unclamped():
+    """VERDICT r4 #1: frontier partitioning scales with the edge count —
+    no fixed 64-partition ceiling — and floors at 4 for tiny frontiers."""
+    from entity_knowledge_in_bert_spark.operators.cluster import (
+        EDGES_PER_PARTITION,
+        _frontier_partitions,
+    )
+
+    assert _frontier_partitions(None, 1) == 4
+    assert _frontier_partitions(None, EDGES_PER_PARTITION * 10) == 10
+    # 100x-scale edge table: well past the old 64 clamp
+    assert _frontier_partitions(None, EDGES_PER_PARTITION * 500) == 500
+
+
+def test_cc_releases_stale_frontier_checkpoints(spark):
+    """Each LS/SS iteration localCheckpoints a frontier; stale ones must
+    be unpersisted as soon as their successor materializes, so CC memory
+    is O(frontier), not O(frontier x iterations) (the super-linear
+    cluster-stage mechanism at the 1.6M-page probe, VERDICT r4 #1)."""
+    import time
+
+    from entity_knowledge_in_bert_spark.operators.cluster import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    # a chain graph needs several LS/SS iterations to converge
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    base_ids = set(dict(sc._jsc.getPersistentRDDs()))
+    connected_components(edges).count()
+    # non-blocking unpersist: allow the block manager a moment to drain
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        ours = set(dict(sc._jsc.getPersistentRDDs())) - base_ids
+        if len(ours) <= 2:
+            break
+        time.sleep(0.2)
+    assert len(ours) <= 2, f"stale frontier checkpoints leaked: {len(ours)}"
