@@ -378,16 +378,53 @@ class TableIO:
             json.dump(rec, f, indent=1)
         os.replace(tmp, p)
 
-    def try_rollback_tag(self, tag: str) -> int:
+    def has_tag(self, tag: str) -> bool:
+        """Does ANY table manifest hold a snapshot labeled ``tag``?
+        True means a prior merge attempt with this tag left partial work
+        behind — replaying the merge WITHOUT rolling the tag back would
+        append duplicate rows. Manifest bookkeeping is backend-agnostic,
+        so this works identically on parquet and Iceberg storage."""
+        if not os.path.isdir(self.warehouse):
+            return False
+        for t in os.listdir(self.warehouse):
+            if not os.path.exists(self._manifest_path(t)):
+                continue
+            if any(
+                s.get("tag") == tag
+                for s in self._load_manifest(t)["snapshots"]
+            ):
+                return True
+        return False
+
+    def try_rollback_tag(self, tag: str, allow_at_least_once: bool = False) -> int:
         """Backend-aware rollback: on the parquet backend, drop the tag's
         partial snapshots (full exactly-once). On the Iceberg catalog
         backend — where tag rollback needs WAP/branch commits that are
-        not wired in this sandbox — WARN and return 0 instead of failing
-        the stream on its first micro-batch: semantics degrade to
-        at-least-once for the one replayed-after-crash batch (ADVICE r3;
-        a crash-free run is unaffected, and fully-committed batches are
-        still skipped via merge_complete)."""
+        not wired in this sandbox — duplication-aware (ADVICE r4):
+
+        * no partial tagged snapshots exist (the common case — crash-free
+          run, or a replay of a batch that never got to write): nothing
+          to roll back, return 0, exactly-once holds;
+        * partial snapshots DO exist and ``allow_at_least_once`` is False
+          (default): HARD-FAIL — replaying would append duplicate rows
+          into the append chains (and can silently lose resurrected ids
+          if the crash landed after a tombstone compact), and a
+          warnings.warn inside a foreachBatch worker is easy to lose;
+        * partial snapshots exist and the caller opted in: WARN and
+          degrade to at-least-once for the one replayed batch."""
         if self.catalog:
+            if not self.has_tag(tag):
+                return 0  # nothing partial: replay is still exactly-once
+            if not allow_at_least_once:
+                raise RuntimeError(
+                    f"partial snapshots tagged {tag!r} exist but tag "
+                    "rollback is not wired on the Iceberg catalog backend "
+                    "(needs WAP/branch commits): replaying this micro-batch "
+                    "would append duplicate rows. Pass "
+                    "allow_at_least_once=True (stream_incremental_er "
+                    "forwards it) to accept at-least-once for this batch, "
+                    "or roll the table back out-of-band."
+                )
             import warnings
 
             warnings.warn(

@@ -157,6 +157,7 @@ def stream_incremental_er(
     io,
     pages_dir: str,
     checkpoint_dir: str | None = None,
+    allow_at_least_once: bool = False,
 ):
     """T1+T6 wired to the incremental ER plan (plans/incremental.py):
     stream crawled pages out of a bronze landing directory and fold each
@@ -180,6 +181,13 @@ def stream_incremental_er(
     frozen model_idf / block_salts artifacts). Runs with availableNow
     and blocks until the backlog drains; returns the updated cluster
     table.
+
+    ``allow_at_least_once`` (ADVICE r4): on the Iceberg catalog backend,
+    where tag rollback is not wired, replaying a PARTIALLY-committed
+    micro-batch would duplicate rows — by default that replay hard-fails
+    instead of silently degrading the exactly-once contract. Opt in to
+    accept at-least-once for such a batch. Crash-free runs, and replays
+    of batches that never wrote anything, are exactly-once either way.
     """
     import hashlib
 
@@ -204,9 +212,10 @@ def stream_incremental_er(
         if io.merge_complete(tag):
             return  # replay of a fully-committed batch: skip
         # drop partial snapshots of a crashed attempt; on the Iceberg
-        # catalog backend this is a warned no-op (at-least-once for the
-        # one replayed batch) instead of a hard failure — ADVICE r3
-        io.try_rollback_tag(tag)
+        # catalog backend (no WAP rollback wired) this hard-fails when
+        # duplication would actually occur unless the caller opted into
+        # at-least-once — ADVICE r4
+        io.try_rollback_tag(tag, allow_at_least_once=allow_at_least_once)
         IncrementalER(spark, io).merge(batch_df, tag=tag)
         io.mark_merge_complete(tag)
     q = (

@@ -222,19 +222,34 @@ def test_iceberg_rollback_not_implemented(tmp_path):
         io2.rollback_tag("x")
 
 
-def test_iceberg_try_rollback_is_warned_noop(tmp_path):
-    """The STREAMING fold path must not fail on the catalog backend just
-    because WAP rollback isn't wired: try_rollback_tag warns and returns
-    0 there (degraded at-least-once for one replayed batch), while the
-    parquet backend keeps full rollback (ADVICE r3)."""
+def test_iceberg_try_rollback_duplication_aware(tmp_path):
+    """ADVICE r4 (medium): on the catalog backend the exactly-once
+    degradation is no longer silent-by-default. No partial tagged
+    snapshots -> clean 0 (replay still exactly-once). Partial snapshots
+    present -> hard-fail unless the caller opted into at-least-once, in
+    which case it warns and returns 0."""
     import warnings
 
     from entity_knowledge_in_bert_spark.sources.tableio import TableIO
 
     io2 = TableIO(_IcebergSpark(), str(tmp_path / "iwh4"), catalog="ice")
+    # nothing tagged yet: nothing to roll back, no warning, no failure
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         assert io2.try_rollback_tag("x") == 0
+    assert not any("at-least-once" in str(x.message) for x in w)
+
+    # a crashed attempt left a partial tagged snapshot behind
+    io2.write(_IcebergDF([]), "t", stage="s", tag="x")
+    assert io2.has_tag("x") and not io2.has_tag("y")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="duplicate"):
+        io2.try_rollback_tag("x")
+    # explicit opt-in: warned degradation instead of failure
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert io2.try_rollback_tag("x", allow_at_least_once=True) == 0
     assert any("at-least-once" in str(x.message) for x in w)
 
 
