@@ -17,7 +17,9 @@ groupBy on the pair key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles_sql
@@ -36,17 +38,56 @@ BAND_ROWS = 2  # 4 bands x 2 rows
 MAX_BAND_BUCKET = 1024
 
 
-def _cap_bucket(keyed: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
-    """Drop rows of buckets whose population exceeds ``max_bucket`` —
-    one window over the partitioning the self-join shuffles on anyway."""
-    from pyspark.sql import Window
+# unique metric names: Spark rejects duplicate observe() names in one plan
+_CAP_SEQ = itertools.count()
 
+
+def _cap_bucket(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+    observation=None,
+    observe: bool = True,
+) -> DataFrame:
+    """Drop rows of buckets whose population exceeds ``max_bucket`` —
+    one window over the partitioning the self-join shuffles on anyway.
+
+    The recall trade is never silent (ADVICE r4): the pre-filter rows
+    carry an ``observe`` metric (``rows_dropped_by_cap``,
+    ``rows_pre_cap``) computed in the same pass — pass a
+    ``pyspark.sql.Observation`` to read it driver-side after any action,
+    or rely on the default uniquely-named metric, which every
+    QueryExecutionListener / the Spark UI surfaces on production runs.
+
+
+    ``observe=False`` skips the metric node entirely — the self-join
+    operators cap BOTH join sides from the same input, and a metrics
+    node duplicated across the two branches of a self-join is rejected
+    by Spark (and would double-count anyway), so only the a-side
+    observes; the b-side's window still reuses the a-side's exchange.
+
+    Caveat: if the cap drops EVERY row, AQE's empty-relation propagation
+    can prune the observed subtree out of the final plan and
+    ``Observation.get`` fails instead of reporting the count — in that
+    fully-degenerate case run :func:`band_bucket_audit`, which reports
+    the same decision per bucket as its own query.
+    """
     w = Window.partitionBy(*bucket_cols)
-    return (
-        keyed.withColumn("_bsize", F.count("*").over(w))
-        .filter(F.col("_bsize") <= F.lit(max_bucket))
-        .drop("_bsize")
-    )
+    sized = keyed.withColumn("_bsize", F.count("*").over(w))
+    if observe:
+        dropped = F.sum(
+            F.when(F.col("_bsize") > F.lit(max_bucket), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("rows_dropped_by_cap")
+        total = F.count(F.lit(1)).alias("rows_pre_cap")
+        if observation is None:
+            sized = sized.observe(
+                f"dedup_bucket_cap_{next(_CAP_SEQ)}", dropped, total
+            )
+        else:
+            sized = sized.observe(observation, dropped, total)
+    return sized.filter(F.col("_bsize") <= F.lit(max_bucket)).drop("_bsize")
 
 
 def with_exact_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -114,19 +155,26 @@ def lsh_candidate_pairs(
     rows: int = BAND_ROWS,
     id_col: str = "doc_id",
     max_bucket: int | None = MAX_BAND_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Band the signatures, bucket-join, dedup -> (doc_a, doc_b).
 
     Buckets larger than ``max_bucket`` are dropped BEFORE the self-join
     (quadratic-output guard; audited via :func:`band_bucket_audit`);
-    ``max_bucket=None`` disables the cap."""
+    ``max_bucket=None`` disables the cap. Pass an ``observation``
+    (pyspark.sql.Observation) to read the dropped-row count driver-side;
+    the cap always also emits a named observe metric (ADVICE r4)."""
     keyed = _minhash_band_keys(sigs, k, rows, id_col)
+    keyed_b = keyed
     if max_bucket is not None:
-        keyed = _cap_bucket(keyed, ["band_id", "band_hash"], max_bucket)
+        keyed = _cap_bucket(keyed, ["band_id", "band_hash"], max_bucket,
+                            observation=observation)
+        keyed_b = _cap_bucket(keyed_b, ["band_id", "band_hash"], max_bucket,
+                              observe=False)
     a = keyed.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )
-    b = keyed.select(
+    b = keyed_b.select(
         F.col(id_col).alias("doc_b"), "band_id", "band_hash"
     )
     return (
@@ -263,6 +311,7 @@ def simhash_near_pairs(
     sim: DataFrame,
     max_hamming: int = 3,
     max_bucket: int | None = MAX_BAND_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance via banded
     multi-probe LSH over the output of :func:`simhash64_bands`.
@@ -278,7 +327,10 @@ def simhash_near_pairs(
     (same quadratic-output guard as lsh_candidate_pairs — a degenerate
     band value shared by 10^6 docs is boilerplate, not near-dup signal;
     the drop narrows the pigeonhole guarantee to pairs outside capped
-    buckets). ``max_bucket=None`` disables the cap.
+    buckets). ``max_bucket=None`` disables the cap; when it fires, the
+    dropped-row count is visible via ``observation`` / the named observe
+    metric (ADVICE r4) — so the conditional recall guarantee is always
+    auditable at run time, not only via a separate audit query.
     """
     if max_hamming > N_SIMHASH_BANDS - 1:
         raise ValueError(
@@ -297,15 +349,19 @@ def simhash_near_pairs(
     keyed = sim.select("doc_id", *band_cols, F.explode(bands).alias("bk")).select(
         "doc_id", *band_cols, F.col("bk.band_id"), F.col("bk.val")
     )
+    keyed_b = keyed
     if max_bucket is not None:
-        keyed = _cap_bucket(keyed, ["band_id", "val"], max_bucket)
+        keyed = _cap_bucket(keyed, ["band_id", "val"], max_bucket,
+                            observation=observation)
+        keyed_b = _cap_bucket(keyed_b, ["band_id", "val"], max_bucket,
+                              observe=False)
     a = keyed.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"band{k}").alias(f"a{k}") for k in range(N_SIMHASH_BANDS)],
         "band_id",
         "val",
     )
-    b = keyed.select(
+    b = keyed_b.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"band{k}").alias(f"b{k}") for k in range(N_SIMHASH_BANDS)],
         "band_id",
@@ -365,6 +421,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     block_col: str = "label",
     max_block_size: int | None = MAX_BAND_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks -> (vec_a, vec_b, cos).
 
@@ -379,15 +436,18 @@ def embedding_near_dups(
     """
     from ..functions.similarity import cosine_sql
 
-    blocked = emb
+    blocked = blocked_b = emb
     if max_block_size is not None:
-        blocked = _cap_bucket(emb, [block_col], max_block_size)
+        blocked = _cap_bucket(emb, [block_col], max_block_size,
+                              observation=observation)
+        blocked_b = _cap_bucket(emb, [block_col], max_block_size,
+                                observe=False)
     a = blocked.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col(block_col).alias("blk"),
     )
-    b = blocked.select(
+    b = blocked_b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col(block_col).alias("blk"),

@@ -94,9 +94,22 @@ _RECHECK_FIRST = {
 }
 
 
+_DRIVER_HISTORY_CACHE: dict[str, int] | None = None
+
+
 def _driver_history() -> dict[str, int]:
     """query name -> most recent driver round that recorded a row for it
-    (from CORRECTNESS_r*.json at the repo root; empty off-repo)."""
+    (from the CORRECTNESS_r*.json history committed at the repo root;
+    empty off-repo, which degrades to plain registration order).
+
+    Cached per process (ADVICE r4): the files are an ordering hint read
+    once, not a live input — re-reading them on every queries() call made
+    iteration order depend on whatever happens to be on disk mid-run.
+    Keys are intersected with the registry downstream, so a stray or
+    malformed-but-dict json cannot inject phantom query names."""
+    global _DRIVER_HISTORY_CACHE
+    if _DRIVER_HISTORY_CACHE is not None:
+        return _DRIVER_HISTORY_CACHE
     import glob
     import json as _json
     import os as _os
@@ -119,11 +132,14 @@ def _driver_history() -> dict[str, int]:
         if isinstance(data, dict):
             for k in data:
                 hist[k] = max(hist.get(k, 0), rnd)
+    _DRIVER_HISTORY_CACHE = hist
     return hist
 
 
 def _ordered_names() -> list[str]:
-    hist = _driver_history()
+    # only names that are actually registered matter: a stray top-level
+    # key in some CORRECTNESS file must not influence the ordering
+    hist = {k: v for k, v in _driver_history().items() if k in _REGISTRY}
     # sort key: recheck-first < never-checked < ascending staleness;
     # sorted() is stable, so ties keep registration order
     def key(n: str) -> int:
@@ -728,20 +744,29 @@ shingles AS (
   JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
   JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
 
+# MinHash banding CTE, parameterized by the ENGINE constants (ADVICE r4:
+# hardcoded literals desync the oracle from operators.dedup the moment a
+# constant changes and surface only as a confusing parity failure)
+from ..operators.dedup import BAND_ROWS as _BAND_ROWS  # noqa: E402
+from ..operators.dedup import MAX_BAND_BUCKET as _MAX_BAND_BUCKET  # noqa: E402
+from ..operators.dedup import MINHASH_K as _MINHASH_K  # noqa: E402
+
+_MH_BANDS_CTE = f"""
+mh AS (
+  SELECT doc_id, i,
+         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles CROSS JOIN range({_MINHASH_K}) r(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {_BAND_ROWS} AS band_id,
+         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
+  FROM mh GROUP BY doc_id, i // {_BAND_ROWS})"""
+
 
 @q(
     "dedup_minhash_lsh_pairs",
     f"WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, "
-    """
-mh AS (
-  SELECT doc_id, i,
-         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-  FROM shingles CROSS JOIN range(8) r(i)
-  GROUP BY doc_id, i),
-bands AS (
-  SELECT doc_id, i // 2 AS band_id,
-         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
-  FROM mh GROUP BY doc_id, i // 2)
+    f"""{_MH_BANDS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -763,20 +788,11 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 @q(
     "dedup_band_audit",
     f"WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, "
-    """
-mh AS (
-  SELECT doc_id, i,
-         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-  FROM shingles CROSS JOIN range(8) r(i)
-  GROUP BY doc_id, i),
-bands AS (
-  SELECT doc_id, i // 2 AS band_id,
-         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
-  FROM mh GROUP BY doc_id, i // 2),
+    f"""{_MH_BANDS_CTE},
 buckets AS (
   SELECT band_id, band_hash, COUNT(*) AS bucket_size
   FROM bands GROUP BY band_id, band_hash)
-SELECT bucket_size, COUNT(*) AS n_buckets, bucket_size > 1024 AS dropped
+SELECT bucket_size, COUNT(*) AS n_buckets, bucket_size > {_MAX_BAND_BUCKET} AS dropped
 FROM buckets GROUP BY bucket_size ORDER BY bucket_size
 """,
 )
@@ -797,16 +813,7 @@ def dedup_band_audit(spark, sf_dir):
 # (incremental CC) — both must produce exactly this partition.
 _CC_CLOSURE_SQL = (
     f"WITH RECURSIVE {_CORPUS_CTE}, {_SHINGLE_CTE}, "
-    """
-mh AS (
-  SELECT doc_id, i,
-         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-  FROM shingles CROSS JOIN range(8) r(i)
-  GROUP BY doc_id, i),
-bands AS (
-  SELECT doc_id, i // 2 AS band_id,
-         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
-  FROM mh GROUP BY doc_id, i // 2),
+    f"""{_MH_BANDS_CTE},
 lsh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -876,16 +883,7 @@ def incr_cc_merge(spark, sf_dir):
 
 _KEEP_LIST_SQL = (
     f"WITH RECURSIVE {_CORPUS_CTE}, {_SHINGLE_CTE}, "
-    """
-mh AS (
-  SELECT doc_id, i,
-         MIN(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-  FROM shingles CROSS JOIN range(8) r(i)
-  GROUP BY doc_id, i),
-bands AS (
-  SELECT doc_id, i // 2 AS band_id,
-         sha256(string_agg(mh, ',' ORDER BY i)) AS band_hash
-  FROM mh GROUP BY doc_id, i // 2),
+    f"""{_MH_BANDS_CTE},
 lsh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

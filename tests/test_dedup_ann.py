@@ -265,3 +265,47 @@ def test_keep_list_drops_exact_copies_keeps_originals(spark, sf_dir):
         == 0
     )
     kl.unpersist()
+
+
+def test_bucket_cap_drop_count_is_observable(spark):
+    """ADVICE r4: the bucket cap's recall trade must surface at run time
+    — an Observation attached to the capped operator reports how many
+    rows the cap removed, in the same pass as the action itself."""
+    from pyspark.sql import Observation
+
+    from entity_knowledge_in_bert_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    # degenerate bulk (one giant band bucket) + a few legit near-dup docs
+    boiler = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated for every document here").alias(
+            "text"
+        ),
+    )
+    uniq = spark.createDataFrame(
+        [
+            (100 + i, f"distinct document number {i // 2} with shared "
+                      "shingle content here today")
+            for i in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(word_shingles(boiler.unionByName(uniq)))
+    obs = Observation("cap_audit")
+    pairs = lsh_candidate_pairs(sigs, max_bucket=8, observation=obs)
+    n_pairs = pairs.count()
+    got = obs.get
+    # every boilerplate band-key row was dropped; the legit docs survive
+    assert got["rows_dropped_by_cap"] == 40 * 4  # 40 docs x 4 bands
+    assert got["rows_pre_cap"] == 46 * 4
+    assert 0 < n_pairs <= 6 * 5 // 2  # only the legit docs can pair
+
+    # cap disabled -> no drop, boilerplate goes all-pairs
+    assert (
+        lsh_candidate_pairs(sigs, max_bucket=None).count()
+        >= 40 * 39 // 2
+    )
