@@ -91,6 +91,7 @@ def q(name: str, sql: str | None):
 # a driver round >= the oracle's landing round has recorded a row.
 _RECHECK_FIRST = {
     "mm_extract_features": 3,  # oracle landed r3; last driver row was r2
+    "er_pipeline_clusters": 5,  # value oracle landed r5 (was rows-only)
 }
 
 
@@ -1648,8 +1649,46 @@ def benchmark_conll_eval(spark, sf_dir):
     return pairwise_f1_df(labeled, clusters)
 
 
-@q("er_pipeline_clusters", None)
+# Flagship end-to-end value oracle (VERDICT r4 #4): the pipeline's OWN
+# materialized stage_score edges + stage_mention ids are exported to a
+# fixed path, and DuckDB recomputes the transitive closure + min-id
+# canonicalization + singleton fallback over them — so the shipped
+# stage_cluster table is hash-checked, not just "rows plausible". The
+# path must be a literal (oracle strings are static); the query
+# overwrites it on every run, so query-then-oracle sees one consistent
+# export. Scoring itself is NOT re-derived here (encoder cosines aren't
+# SQL-expressible); it is value-checked separately via the f4 similarity
+# oracles + the F1>=0.99 gate.
+_ER_CC_ORACLE_DIR = "/tmp/spark_graft_er_cc_oracle"
+
+_ER_CC_CLOSURE_SQL = f"""
+WITH RECURSIVE
+edges0 AS (
+  SELECT src, dst FROM read_parquet('{_ER_CC_ORACLE_DIR}/edges/*.parquet')),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst AS src, src AS dst FROM edges0),
+nodes AS (
+  SELECT mention_id AS node
+  FROM read_parquet('{_ER_CC_ORACLE_DIR}/mentions/*.parquet')),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS mention_id, MIN(root) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@q("er_pipeline_clusters", _ER_CC_CLOSURE_SQL)
 def er_pipeline_clusters(spark, sf_dir):
+    """The FLAGSHIP end-to-end surface, now value-checked: run the full
+    staged pipeline, export its own stage_score edges + mention ids to
+    the oracle dir, and return the shipped (mention_id, cluster_id)
+    table. The DuckDB WITH-RECURSIVE closure over the exported edges
+    must reproduce it exactly — CC, min-id canonicalization, and
+    singleton handling all end-to-end (VERDICT r4 #4)."""
     import tempfile
 
     from .. import datagen
@@ -1660,9 +1699,13 @@ def er_pipeline_clusters(spark, sf_dir):
     pages = datagen.gen_pages_df(spark, n)
     io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
     clusters = ERPipeline(spark, io).run(pages)
-    from ..operators.cluster import cluster_size_histogram
-
-    return cluster_size_histogram(clusters)
+    io.read("stage_score").select("src", "dst").write.mode(
+        "overwrite"
+    ).parquet(f"{_ER_CC_ORACLE_DIR}/edges")
+    io.read("stage_mention").select("mention_id").write.mode(
+        "overwrite"
+    ).parquet(f"{_ER_CC_ORACLE_DIR}/mentions")
+    return clusters.select("mention_id", "cluster_id")
 
 
 @q("er_incremental_clusters", None)
