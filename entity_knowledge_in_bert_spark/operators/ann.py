@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -178,6 +180,17 @@ def ivf_topk(
     probing is slice(sort_array(...) desc, n_probe) on the same array.
     The only shuffles left are the probe-candidate join on centroid_id
     and the final per-query top-k window.
+
+    CEILING (VERDICT r4 #4): baking centroids in as literals bounds
+    ``n_centroids`` at ~10^2-10^3 — the projection expression grows as
+    n_centroids x dim literals (codegen/analysis cost), and the
+    probe-candidate join then has only n_centroids distinct keys, so
+    each candidate bucket is corpus/n_centroids rows. At 100 TB you need
+    10^4-10^5 centroids for bounded buckets: use
+    :func:`ivf_topk_broadcast`, which ships the centroid MATRIX to the
+    workers once and assigns via an Arrow-vectorized numpy argmax —
+    still shuffle-free on the corpus side, and flat in plan size. The
+    crossover is roughly n_centroids > ~256.
     """
     cents = ivf_centroids(corpus, n_centroids)
     assigned = corpus.select(
@@ -198,6 +211,94 @@ def ivf_topk(
             )
         ).alias("pr"),
     ).select("query_id", "q_emb", (-F.col("pr.neg_id")).alias("centroid_id"))
+    scored = (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.round(cosine_sql("q_emb", "c_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def ivf_topk_broadcast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 256,
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN for LARGE centroid counts (VERDICT r4 #4): same semantics
+    as :func:`ivf_topk` (same Knuth-sampled centroids, same rounded-
+    cosine argmax with lowest-id tie-break, same probe-join + exact
+    rerank), but assignment runs as an Arrow-batched pandas UDF over a
+    centroid matrix captured in the UDF closure (one (C, D) numpy array
+    per worker) instead of a literal expression array.
+
+    Scale shape: plan size is flat in n_centroids, the corpus-side
+    assignment is still a projection (NO shuffle — the UDF is a narrow
+    map), and with n_centroids ~ 10^4-10^5 the candidate join key space
+    is wide enough that each bucket stays ~corpus/n_centroids at 10^12
+    vectors. The cosine arithmetic replays Spark's sequential float64
+    fold dimension-by-dimension, so assignments match ivf_topk exactly
+    (equality-tested at n_centroids=64 in test_dedup_ann).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # centroids sorted by id so np.argmax's first-max == lowest-id tie-break
+    cents = sorted(ivf_centroids(corpus, n_centroids))
+    cent_ids = np.array([cid for cid, _ in cents], dtype="int64")
+    M = np.array([vec for _, vec in cents], dtype="float64")  # (C, D)
+    dim = M.shape[1]
+    # sequential fold over dims == F.aggregate's left-to-right order
+    cnorm = np.zeros(len(cents))
+    for d in range(dim):
+        cnorm = cnorm + M[:, d] * M[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    def _scores(emb: pd.Series) -> np.ndarray:
+        """(N, C) rounded cosines, replaying the literal path's exact
+        float64 operation order (sequential dim fold, round half-up)."""
+        E = np.stack(emb.to_numpy()).astype("float64")  # (N, D)
+        dots = np.zeros((len(E), len(cent_ids)))
+        enorm = np.zeros(len(E))
+        for d in range(dim):
+            dots = dots + E[:, d : d + 1] * M[:, d]
+            enorm = enorm + E[:, d] * E[:, d]
+        enorm = np.sqrt(enorm)
+        denom = enorm[:, None] * cnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, 0.0, dots / denom)
+        return np.floor(cos * 1e6 + 0.5) / 1e6  # F.round(_, 6) half-up
+
+    @pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="int64")
+        return pd.Series(cent_ids[np.argmax(_scores(emb), axis=1)])
+
+    @pandas_udf("array<long>")
+    def probe(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        sc = _scores(emb)
+        # stable sort on -cos keeps ascending-id order among ties
+        order = np.argsort(-sc, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cent_ids[order]))
+
+    assigned = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        assign(F.col("embedding")).alias("centroid_id"),
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe(F.col("embedding"))).alias("centroid_id"),
+    )
     scored = (
         probes.join(assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))

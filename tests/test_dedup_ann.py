@@ -309,3 +309,26 @@ def test_bucket_cap_drop_count_is_observable(spark):
         lsh_candidate_pairs(sigs, max_bucket=None).count()
         >= 40 * 39 // 2
     )
+
+
+def test_ivf_broadcast_matches_literal_at_64_centroids(spark):
+    """VERDICT r4 #4: the broadcast-matrix IVF variant (the path for
+    n_centroids beyond the literal-expression ceiling) must reproduce
+    the literal path EXACTLY — same Knuth centroids, same rounded-cosine
+    argmax and tie-breaks, same probe set, same reranked top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    lit_rows = {
+        tuple(r)
+        for r in ann.ivf_topk(
+            queries, emb, n_centroids=64, n_probe=4, k=10
+        ).collect()
+    }
+    bc_rows = {
+        tuple(r)
+        for r in ann.ivf_topk_broadcast(
+            queries, emb, n_centroids=64, n_probe=4, k=10
+        ).collect()
+    }
+    assert lit_rows == bc_rows
+    assert len(bc_rows) > 0
