@@ -73,6 +73,49 @@ def _decay_pows(n: int) -> np.ndarray:
 _MEMO_MAX = 1_000_000
 
 
+def _explode_side(series: pd.Series):
+    """One context side -> flat (tokens, row, within-row ordinal,
+    row token count), empties dropped — the pandas-native flattening of
+    ``[t for t in (s or "").split(" ") if t]`` over the whole batch
+    (VERDICT r4 #7: the last per-token Python loop in the hot kernel).
+    ``rows`` is ascending (explode preserves row order)."""
+    s = series.reset_index(drop=True).fillna("")
+    ex = s.str.split(" ").explode()
+    toks = ex.to_numpy()
+    rows = ex.index.to_numpy().astype("int64")
+    mask = toks != ""
+    toks, rows = toks[mask], rows[mask]
+    if len(rows) == 0:
+        z = np.zeros(0, dtype="int64")
+        return toks, z, z.copy(), z.copy()
+    change = np.r_[True, rows[1:] != rows[:-1]]
+    starts = np.flatnonzero(change)
+    run_ids = np.cumsum(change) - 1
+    ordinal = np.arange(len(rows), dtype="int64") - starts[run_ids]
+    counts = np.diff(np.r_[starts, len(rows)])
+    rowcount = counts[run_ids]
+    return toks, rows, ordinal, rowcount
+
+
+def _flat_ctx_tokens(left: pd.Series, right: pd.Series):
+    """Both context sides flattened into the ENCODER'S iteration order —
+    per row: left tokens nearest-first (reversed), then right tokens —
+    as (tokens, row, within-side position). Pure numpy bookkeeping; the
+    only remaining Python-level loop downstream is over DISTINCT tokens
+    (memoized across Arrow batches)."""
+    lt, lr, lo, lc = _explode_side(left)
+    rt, rr, ro, _rc = _explode_side(right)
+    toks = np.concatenate([lt, rt])
+    rows = np.concatenate([lr, rr])
+    # left position counts from the mention boundary: reversed order
+    pos = np.concatenate([lc - 1 - lo, ro])
+    sides = np.concatenate(
+        [np.zeros(len(lt), dtype="int64"), np.ones(len(rt), dtype="int64")]
+    )
+    order = np.lexsort((pos, sides, rows))  # row, then left<right, then pos
+    return toks[order], rows[order], pos[order]
+
+
 def encode_ctx(
     left: pd.Series,
     right: pd.Series,
@@ -86,71 +129,57 @@ def encode_ctx(
     shared common component dominates every cosine and ambiguous surfaces
     can't be separated.
 
-    VERDICT r3 #2: the historical kernel looped Python per token per
-    MENTION doing blake2b + scalar float arithmetic — the dominant Python
-    cost of the mention stage. Now each token costs one dict lookup
-    (``memo``: token -> (slot, idf*sign), computed once per distinct
-    token per worker — pass a dict owned by the caller to persist it
-    across Arrow batches, as make_encoder_udf does) and the accumulation
-    is one ``np.add.at`` over the flattened (row, slot) indices. Values
-    are BIT-IDENTICAL to the loop (t6 golden vectors + t4 F1 gate):
-    ``np.add.at`` applies additions in flat-index order == the loop's
-    reversed-left-then-right order per row; the decay table replays the
-    loop's sequential ``w_pos *= DECAY`` products; ``idf*sign`` is an
-    exact IEEE sign flip, so ``(idf*sign)*decay == ±(idf*decay)``
-    bitwise.
+    Fully vectorized (VERDICT r3 #2 + r4 #7): tokenization is
+    ``str.split().explode()`` (pandas C path), token resolution runs once
+    per DISTINCT batch token against ``memo`` (token -> (slot, idf*sign),
+    persisted across Arrow batches by make_encoder_udf) with
+    ``pd.factorize`` broadcasting codes back, and accumulation is one
+    ``np.add.at`` over the flattened (row, slot) indices. Values are
+    BIT-IDENTICAL to the original per-token loop (pinned by
+    tests/test_encoder_kernel.py against a reference implementation):
+    the lexsort reproduces the loop's reversed-left-then-right per-row
+    addition order exactly (the key (row, side, pos) is unique), the
+    decay table replays the loop's sequential ``w_pos *= DECAY``
+    products, and ``idf*sign`` is an exact IEEE sign flip.
     """
     if memo is None:
         memo = {}
     n = len(left)
-    row_ids: list[int] = []
-    slot_ids: list[int] = []
-    bases: list[float] = []
-    pos_flat: list[int] = []
-    max_side = 0
-    for ridx, (ls, rs) in enumerate(zip(left, right)):
-        ltoks = [t for t in (ls or "").split(" ") if t]
-        rtoks = [t for t in (rs or "").split(" ") if t]
-        for toks in (ltoks[::-1], rtoks):
-            if len(toks) > max_side:
-                max_side = len(toks)
-            for p, t in enumerate(toks):
-                v = memo.get(t)
-                if v is None:
-                    w = idf.get(t, 1.0)
-                    if w == 0.0:
-                        v = ()  # stopword: contributes nothing
-                    else:
-                        h = _stable_hash64(t)
-                        v = (h % DIM, w if (h >> 8) & 1 else -w)
-                    if len(memo) < _MEMO_MAX:
-                        memo[t] = v
-                if v:
-                    row_ids.append(ridx)
-                    slot_ids.append(v[0])
-                    bases.append(v[1])
-                    pos_flat.append(p)
+    toks, rows, pos = _flat_ctx_tokens(left, right)
     out = np.zeros((n, DIM), dtype="float64")
-    if row_ids:
-        contrib = np.asarray(bases, dtype="float64") * _decay_pows(max_side)[
-            np.asarray(pos_flat, dtype="int64")
-        ]
-        np.add.at(
-            out,
-            (
-                np.asarray(row_ids, dtype="int64"),
-                np.asarray(slot_ids, dtype="int64"),
-            ),
-            contrib,
-        )
-    vecs = []
-    for i in range(n):
-        v = out[i]
-        nrm = np.linalg.norm(v)  # same 1-D norm call as the loop
-        if nrm > 0:
-            v = v / nrm
-        vecs.append(v.astype("float32").tolist())
-    return pd.Series(vecs)
+    if len(toks):
+        codes, uniq = pd.factorize(toks)
+        slot_u = np.empty(len(uniq), dtype="int64")
+        base_u = np.zeros(len(uniq), dtype="float64")
+        for i, t in enumerate(uniq):  # distinct tokens only, memoized
+            v = memo.get(t)
+            if v is None:
+                w = idf.get(t, 1.0)
+                if w == 0.0:
+                    v = ()  # stopword: contributes nothing
+                else:
+                    h = _stable_hash64(t)
+                    v = (h % DIM, w if (h >> 8) & 1 else -w)
+                if len(memo) < _MEMO_MAX:
+                    memo[t] = v
+            if v:
+                slot_u[i], base_u[i] = v
+            else:
+                slot_u[i] = -1
+        slots = slot_u[codes]
+        keep = slots >= 0
+        if keep.any():
+            contrib = base_u[codes][keep] * _decay_pows(int(pos.max()) + 1)[
+                pos[keep]
+            ]
+            np.add.at(out, (rows[keep], slots[keep]), contrib)
+    # batched BLAS norms: np.matmul over (n,1,D)x(n,D,1) is BIT-EQUAL to
+    # the historical per-row np.linalg.norm (both reduce via BLAS dot in
+    # the same order; pinned in test_encoder_kernel) and removes the last
+    # per-row Python loop. Division/cast are elementwise — order-free.
+    nrm = np.sqrt(np.matmul(out[:, None, :], out[:, :, None]))[:, 0, 0]
+    normalized = (out / np.where(nrm == 0.0, 1.0, nrm)[:, None]).astype("float32")
+    return pd.Series(list(normalized))
 
 
 def make_encoder_udf(idf):
@@ -182,22 +211,46 @@ PAD_ID = 0
 
 
 def hash_token_ids(
-    left: pd.Series, right: pd.Series, max_tokens: int = 64
+    left: pd.Series,
+    right: pd.Series,
+    max_tokens: int = 64,
+    memo: dict[str, int] | None = None,
 ) -> np.ndarray:
     """Arrow batch -> (batch, max_tokens) int64 input_ids for the ONNX
     encoder: nearest-context-first (reversed left then right, exactly the
     locality order encode_ctx weights by), hashed into a fixed vocab,
     PAD-padded/truncated. A real deployment swaps this for the model's
     WordPiece tokenizer; the SHAPE (dense int64 batch, fixed seq len) is
-    what the inference session consumes either way."""
-    out = np.full((len(left), max_tokens), PAD_ID, dtype="int64")
-    for i, (ls, rs) in enumerate(zip(left, right)):
-        ltoks = [t for t in (ls or "").split(" ") if t]
-        rtoks = [t for t in (rs or "").split(" ") if t]
-        toks = ltoks[::-1] + rtoks
-        for j, t in enumerate(toks[:max_tokens]):
+    what the inference session consumes either way.
+
+    Vectorized like encode_ctx (VERDICT r4 #6 — this is the production
+    branch's advertised cost profile): pandas-native flattening, blake2b
+    once per DISTINCT batch token (``memo``: token -> id, persisted
+    across Arrow batches by make_onnx_encoder_udf), one fancy-indexed
+    assignment per batch."""
+    if memo is None:
+        memo = {}
+    n = len(left)
+    out = np.full((n, max_tokens), PAD_ID, dtype="int64")
+    toks, rows, _pos = _flat_ctx_tokens(left, right)
+    if not len(toks):
+        return out
+    # within-row ordinal over the COMBINED (reversed-left + right) order
+    change = np.r_[True, rows[1:] != rows[:-1]]
+    starts = np.flatnonzero(change)
+    j = np.arange(len(rows), dtype="int64") - starts[np.cumsum(change) - 1]
+    keep = j < max_tokens
+    codes, uniq = pd.factorize(toks[keep])
+    id_u = np.empty(len(uniq), dtype="int64")
+    for i, t in enumerate(uniq):  # distinct tokens only, memoized
+        v = memo.get(t)
+        if v is None:
             # 1 + to keep PAD_ID reserved
-            out[i, j] = 1 + _stable_hash64(t) % (VOCAB_SIZE - 1)
+            v = 1 + _stable_hash64(t) % (VOCAB_SIZE - 1)
+            if len(memo) < _MEMO_MAX:
+                memo[t] = v
+        id_u[i] = v
+    out[rows[keep], j[keep]] = id_u[codes]
     return out
 
 
@@ -229,8 +282,9 @@ def make_onnx_encoder_udf(
         sess = mod.InferenceSession(
             model_path, providers=providers or ["CPUExecutionProvider"]
         )
+        memo: dict[str, int] = {}  # token ids resolved once per worker
         for left, right in it:
-            ids = hash_token_ids(left, right, max_tokens)
+            ids = hash_token_ids(left, right, max_tokens, memo=memo)
             (out,) = sess.run(None, {"input_ids": ids})
             out = np.asarray(out, dtype="float64")
             nrm = np.linalg.norm(out, axis=1, keepdims=True)
