@@ -33,18 +33,42 @@ MAX_ITERS = 50
 # splits and a frontier that 64 partitions cannot hold without spill.
 EDGES_PER_PARTITION = 2_000_000
 MAX_FRONTIER_PARTITIONS = 65_536
+# Balance floor: the density rule alone can leave a mid-sized frontier
+# narrower than the cluster (13.8M edges -> 7 partitions on 8+ cores at
+# the 1.6M-page probe), so the first iteration's map side under-fills
+# the executors and one stolen core stalls 1/7 of the stage. Pad up to
+# 4 tasks/core — but only while each padded partition still carries
+# >= MIN_EDGES_PER_PARTITION edges, so a genuinely tiny frontier never
+# schedules hundreds of near-empty tasks. At 10^11 edges the density
+# term (~50k partitions) dwarfs the floor, which then costs nothing.
+FRONTIER_WIDTH_FACTOR = 4
+MIN_EDGES_PER_PARTITION = 50_000
+
+
+def _plan_frontier_partitions(
+    n_edges: int | None, fallback_splits: int, default_parallelism: int
+) -> int:
+    """Pure sizing rule (unit-tested without Spark): ceil(edges / 2M)
+    density target, padded to 4 tasks/core while partitions stay above
+    50k edges, capped only by a sanity bound — no fixed ceiling."""
+    if n_edges is not None and n_edges > 0:
+        est = -(-int(n_edges) // EDGES_PER_PARTITION)  # ceil div
+        floor = FRONTIER_WIDTH_FACTOR * max(1, default_parallelism)
+        pad_limit = max(1, int(n_edges) // MIN_EDGES_PER_PARTITION)
+        est = max(est, min(floor, pad_limit))
+    else:
+        est = fallback_splits
+    return max(4, min(MAX_FRONTIER_PARTITIONS, est))
 
 
 def _frontier_partitions(src: DataFrame, n_edges: int | None) -> int:
     """Partition count for the CC frontier: sized from the edge count
     when the caller knows it (the pipeline reads it from the stage_score
-    manifest — free, no job), else from the input's split count. No
-    fixed ceiling — scale with the data, bounded only by a sanity cap."""
-    if n_edges is not None and n_edges > 0:
-        est = -(-int(n_edges) // EDGES_PER_PARTITION)  # ceil div
-    else:
-        est = src.rdd.getNumPartitions()
-    return max(4, min(MAX_FRONTIER_PARTITIONS, est))
+    manifest — free, no job), else from the input's split count."""
+    sc = src.sparkSession.sparkContext
+    return _plan_frontier_partitions(
+        n_edges, src.rdd.getNumPartitions(), sc.defaultParallelism
+    )
 
 
 def _release_stale_checkpoints(sc, base_ids: set, keep_id_holder: list) -> None:

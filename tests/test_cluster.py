@@ -99,16 +99,35 @@ def test_cluster_size_histogram(spark):
 
 def test_frontier_partition_sizing_unclamped():
     """VERDICT r4 #1: frontier partitioning scales with the edge count —
-    no fixed 64-partition ceiling — and floors at 4 for tiny frontiers."""
+    no fixed 64-partition ceiling — floors at 4 for tiny frontiers, and
+    pads mid-size frontiers up to 4 tasks/core (r5: the density rule
+    alone left 13.8M probe edges on 7 partitions across 8 cores)."""
     from entity_knowledge_in_bert_spark.operators.cluster import (
         EDGES_PER_PARTITION,
-        _frontier_partitions,
+        MAX_FRONTIER_PARTITIONS,
+        _plan_frontier_partitions,
     )
 
-    assert _frontier_partitions(None, 1) == 4
-    assert _frontier_partitions(None, EDGES_PER_PARTITION * 10) == 10
-    # 100x-scale edge table: well past the old 64 clamp
-    assert _frontier_partitions(None, EDGES_PER_PARTITION * 500) == 500
+    plan = _plan_frontier_partitions
+    # tiny frontier: the 4-partition floor, never padded to cluster width
+    assert plan(1, 8, 8) == 4
+    assert plan(120_000, 8, 32) == 4  # pad_limit = 2 keeps it at the min
+    # probe shape (1.6M pages -> ~13.8M edges, local[8]): density says 7,
+    # the balance floor pads to 4 x 8 = 32 (pad_limit 276 allows it)
+    assert plan(13_800_000, 8, 8) == 32
+    # local[2] at the 2.4M-page probe: density 11 > floor 8 -> unchanged
+    assert plan(20_640_000, 8, 2) == 11
+    # 100x-scale edge table: density term dominates, floor is a no-op
+    assert plan(EDGES_PER_PARTITION * 500, 8, 8) == 500
+    # huge cluster, 1B edges: floor would say 32k, but the 50k-edge
+    # density bound caps the padding at 20k partitions
+    assert plan(EDGES_PER_PARTITION * 500, 8, 8_000) == 20_000
+    # sanity cap
+    assert plan(EDGES_PER_PARTITION * (MAX_FRONTIER_PARTITIONS + 5), 8, 8) \
+        == MAX_FRONTIER_PARTITIONS
+    # unknown edge count: fall back to the input's split count
+    assert plan(None, 48, 8) == 48
+    assert plan(None, 2, 8) == 4
 
 
 def test_cc_releases_stale_frontier_checkpoints(spark):
