@@ -22,7 +22,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cpus: int, n_pages: int) -> dict:
+def run_once(cpus: int, n_pages: int, timeout: int = 7200) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     # shuffle width sized to the cluster, as any real deployment does
@@ -33,7 +33,7 @@ def run_once(cpus: int, n_pages: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(ROOT, "main.py"),
              "--stage", "all", "--n-pages", str(n_pages), "--warehouse", wh],
-            capture_output=True, text=True, env=env, cwd=ROOT, timeout=3600,
+            capture_output=True, text=True, env=env, cwd=ROOT, timeout=timeout,
         )
         wall_proc = time.time() - t0
     last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--n-pages", type=int, default=40000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--timeout", type=int, default=7200,
+                help="per-run subprocess kill timeout, sec (r5: a 2.4M local[2] run\n                takes ~3600 s; the old hardcoded 3600 killed the probe driver)")
     ap.add_argument("--write-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -56,7 +58,7 @@ def main() -> None:
     for cpus in args.cpus:
         results[cpus] = []
         for i in range(args.runs):
-            rec = run_once(cpus, args.n_pages)
+            rec = run_once(cpus, args.n_pages, args.timeout)
             results[cpus].append(rec)
             print(f"local[{cpus}] run {i}: wall={rec['wall_sec']}s "
                   f"docs/s={rec['docs_per_sec']} "
