@@ -148,7 +148,17 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "er_pipeline_pages": n_pages,
+                # headline_basis + explicit _at_min/_at_median keys
+                # (ADVICE r5): BENCH_r01-r04 hold MEDIAN-based values
+                # under er_pipeline/er_docs_per_sec, r5+ hold MIN-based
+                # ones — cross-round tooling should compare the explicit
+                # keys, and headline_basis says what the legacy keys mean
+                # in THIS file.
+                "headline_basis": "min_of_n_warm",
+                "er_pipeline_at_min": er_min,
+                "er_pipeline_at_median": er_median,
                 "er_docs_per_sec": round(n_pages / er_min, 1),
+                "er_docs_per_sec_at_min": round(n_pages / er_min, 1),
                 "er_pipeline_median": er_median,
                 "er_docs_per_sec_at_median": round(n_pages / er_median, 1),
                 "er_spread": round(spread(), 2),

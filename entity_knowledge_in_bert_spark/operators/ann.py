@@ -109,6 +109,22 @@ _KNUTH = 2654435761
 _KNUTH_MOD = 1 << 32
 
 
+def _round6(cos: "np.ndarray") -> "np.ndarray":
+    """round(x, 6) with ties HALF AWAY FROM ZERO — the direction Spark's
+    ``F.round`` (java BigDecimal HALF_UP on the double's exact decimal
+    value) takes for NEGATIVE inputs too, which matter here because
+    signed-hash encoders produce negative cosines (ADVICE r5: the old
+    ``floor(x*1e6+0.5)`` rounded -0.0000005 up to -0.0, diverging from
+    Spark on negative half-way values). Residual divergence vs F.round:
+    BigDecimal rounds the double's EXACT decimal expansion while this
+    rounds the float64 product ``x*1e6`` — a value within 1 ulp of a
+    .5 boundary can still land on the other side. No such boundary case
+    exists in the probe/assignment data this engine feeds it (cosines of
+    pseudo-random vectors); the parity test pins negative and half-way
+    grids explicitly."""
+    return np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+
+
 def _cent_score_array(emb_col: str, cents: list) -> object:
     """array<struct<cos:double, neg_id:bigint>> of rounded cosines of
     ``emb_col`` vs each literal centroid — a pure projection (whole-stage
@@ -243,8 +259,12 @@ def ivf_topk_broadcast(
     map), and with n_centroids ~ 10^4-10^5 the candidate join key space
     is wide enough that each bucket stays ~corpus/n_centroids at 10^12
     vectors. The cosine arithmetic replays Spark's sequential float64
-    fold dimension-by-dimension, so assignments match ivf_topk exactly
-    (equality-tested at n_centroids=64 in test_dedup_ann).
+    fold dimension-by-dimension and rounds half away from zero like
+    ``F.round`` (see :func:`_round6` — negative cosines included,
+    ADVICE r5), so assignments agree with ivf_topk up to _round6's
+    documented 1-ulp product-rounding residual (equality-tested at
+    n_centroids=64 in test_dedup_ann; no divergence observed on the
+    test corpora).
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -261,7 +281,8 @@ def ivf_topk_broadcast(
 
     def _scores(emb: pd.Series) -> np.ndarray:
         """(N, C) rounded cosines, replaying the literal path's exact
-        float64 operation order (sequential dim fold, round half-up)."""
+        float64 operation order (sequential dim fold, round half away
+        from zero — F.round's direction on both signs)."""
         E = np.stack(emb.to_numpy()).astype("float64")  # (N, D)
         dots = np.zeros((len(E), len(cent_ids)))
         enorm = np.zeros(len(E))
@@ -272,7 +293,7 @@ def ivf_topk_broadcast(
         denom = enorm[:, None] * cnorm[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom == 0.0, 0.0, dots / denom)
-        return np.floor(cos * 1e6 + 0.5) / 1e6  # F.round(_, 6) half-up
+        return _round6(cos)
 
     @pandas_udf("long")
     def assign(emb: pd.Series) -> pd.Series:

@@ -174,15 +174,34 @@ def block_keys(
     use_lsh: bool = True,
     cap_factor: int = CAP_FACTOR,
     salts: DataFrame | None = None,
+    observation=None,
 ) -> DataFrame:
     """Union of both key families; keys with more than
     ``cap_factor * max_block`` members are dropped (see module docstring
     — audit the drop with ``block_audit``, which sees pre-cap sizes).
 
+    ``observation`` (a ``pyspark.sql.Observation``) makes the recall
+    trade auditable in the SAME pass: it receives
+    ``rows_dropped_by_cap`` / ``rows_pre_cap`` when the plan runs — the
+    pipeline threads it into the stage write so the counts land in the
+    snapshot's ``_lineage`` rows (VERDICT r5 #8).
+
     Returns (mention_id, block_key), distinct.
     """
+    sized = sized_block_keys(
+        mentions, candidates, max_block, use_lsh, salts=salts
+    )
+    if observation is not None:
+        cap = F.lit(max_block * cap_factor)
+        sized = sized.observe(
+            observation,
+            F.sum(
+                F.when(F.col("_bsize") > cap, F.lit(1)).otherwise(F.lit(0))
+            ).alias("rows_dropped_by_cap"),
+            F.count(F.lit(1)).alias("rows_pre_cap"),
+        )
     return (
-        sized_block_keys(mentions, candidates, max_block, use_lsh, salts=salts)
+        sized
         .filter(F.col("_bsize") <= F.lit(max_block * cap_factor))
         .drop("_bsize")
     )

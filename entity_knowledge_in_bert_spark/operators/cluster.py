@@ -57,7 +57,17 @@ def _plan_frontier_partitions(
         pad_limit = max(1, int(n_edges) // MIN_EDGES_PER_PARTITION)
         est = max(est, min(floor, pad_limit))
     else:
-        est = fallback_splits
+        # No edge count: the input's split count is the only signal, but
+        # a WIDE input (corpus-partitioned edges) with a tiny frontier
+        # would schedule thousands of near-empty tasks per LS/SS
+        # iteration on exactly the callers that don't pass counts
+        # (assign_clusters, dedup CC, query oracles — ADVICE r5). Clamp
+        # to the cluster's 4-tasks/core width; callers with big frontiers
+        # should thread n_edges through (the pipeline does, from the
+        # stage_score manifest — free).
+        est = min(
+            fallback_splits, FRONTIER_WIDTH_FACTOR * max(1, default_parallelism)
+        )
     return max(4, min(MAX_FRONTIER_PARTITIONS, est))
 
 
@@ -71,23 +81,55 @@ def _frontier_partitions(src: DataFrame, n_edges: int | None) -> int:
     )
 
 
-def _release_stale_checkpoints(sc, base_ids: set, keep_id_holder: list) -> None:
+def _persistent_ids(sc) -> set | None:
+    """Snapshot of the context's persisted RDD ids. Uses the private
+    ``sc._jsc`` JVM handle, which does not exist under Spark Connect —
+    returns None there (and on any other failure), which degrades
+    checkpoint release to a no-op: correctness is unaffected, the
+    context cleaner eventually reclaims dereferenced frontiers."""
+    try:
+        return set(dict(sc._jsc.getPersistentRDDs()))
+    except Exception:
+        return None
+
+
+def _release_stale_checkpoints(sc, tracked_ids: set) -> None:
     """Unpersist every locally-checkpointed frontier RDD this CC run
     created EXCEPT the newest one (the live frontier). Without this, a
     long CC run accumulates one MEMORY_AND_DISK-cached RDD per iteration
     until the context cleaner happens to run — at the 1.6M-page probe
     that pressure is the super-linear cluster-stage growth BASELINE.md
-    flagged (r5 watch item). RDD ids are monotonically increasing, so
-    "ours except the max id" is exactly "all stale frontiers"."""
-    persistent = dict(sc._jsc.getPersistentRDDs())
-    ours = {rid: rdd for rid, rdd in persistent.items() if rid not in base_ids}
-    if not ours:
+    flagged (r5 watch item).
+
+    ``tracked_ids`` holds only ids that appeared in bracketed
+    getPersistentRDDs() diffs around THIS loop's localCheckpoint calls
+    (ADVICE r5: a cache persisted concurrently elsewhere in the context
+    must never be unpersisted here — unpersisting someone else's
+    localCheckpoint truncates their lineage unrecoverably). RDD ids are
+    monotonic, so the newest tracked id is the live frontier. Residual
+    window: an RDD another driver THREAD persists during the
+    microseconds of one of our bracketed calls is treated as ours; the
+    staged pipeline's single-driver contract makes that acceptable, and
+    the failure mode is bounded to that window rather than "anything
+    persisted since CC start"."""
+    if not tracked_ids:
         return
-    newest = max(ours)
-    keep_id_holder[:] = [newest]
-    for rid, rdd in ours.items():
+    try:
+        persistent = dict(sc._jsc.getPersistentRDDs())
+    except Exception:
+        return
+    live = {rid: rdd for rid, rdd in persistent.items() if rid in tracked_ids}
+    if not live:
+        tracked_ids.clear()
+        return
+    newest = max(live)
+    for rid, rdd in live.items():
         if rid != newest:
-            rdd.unpersist(False)
+            try:
+                rdd.unpersist(False)
+            except Exception:
+                pass
+    tracked_ids.intersection_update({newest})
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -161,8 +203,18 @@ def connected_components(
     src = edges if start_frontier is None else start_frontier
     parts = _frontier_partitions(src, n_edges)
     sc = src.sparkSession.sparkContext
-    base_ids = set(dict(sc._jsc.getPersistentRDDs()))
-    live_ckpt: list = []
+    # ids OUR checkpoints persisted: every localCheckpoint call below is
+    # bracketed by getPersistentRDDs() diffs (persist registration is
+    # synchronous at the call, even for eager=False) so release never
+    # touches an RDD some other code persisted (ADVICE r5)
+    tracked: set = set()
+
+    def _bracket(before: set | None) -> None:
+        after = _persistent_ids(sc)
+        if before is not None and after is not None:
+            tracked.update(after - before)
+
+    before = _persistent_ids(sc)
     if start_frontier is not None:
         # already-canonical (u > v) frontier from a prior iteration
         cur = (
@@ -182,6 +234,7 @@ def connected_components(
             .repartition(parts)
             .localCheckpoint(eager=True)
         )
+    _bracket(before)
     prev_sig = None
     for i in range(max_iters):
         sym = cur.unionByName(
@@ -190,8 +243,12 @@ def connected_components(
         ls = _large_star(sym)  # emits canonical (u>v) edges
         ss = _small_star(ls)  # emits canonical (u>v) edges
         # lazy checkpoint: the signature action below materializes it, so
-        # each iteration costs ONE job instead of two
+        # each iteration costs ONE job instead of two. persist()
+        # REGISTRATION is synchronous at the call even when eager=False,
+        # so the ownership bracket goes around the call itself.
+        before = _persistent_ids(sc)
         cur = ss.localCheckpoint(eager=False)
+        _bracket(before)
         if on_iteration is not None:
             on_iteration(i, cur)
         # convergence check every 2nd iteration: each check is a driver
@@ -204,7 +261,7 @@ def connected_components(
             # checkpoint it chained through): every older frontier is
             # now dead weight in the block manager — release it so CC
             # memory stays O(frontier), not O(frontier x iterations)
-            _release_stale_checkpoints(sc, base_ids, live_ckpt)
+            _release_stale_checkpoints(sc, tracked)
             if sig == prev_sig:
                 break
             prev_sig = sig

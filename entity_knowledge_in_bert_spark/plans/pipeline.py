@@ -90,12 +90,19 @@ class ERPipeline:
         # buckets as base mentions of the same entity.
         salts = blocking.entity_salts(cand, self.max_block)
         self.io.write(salts, "block_salts", stage="block_salts")
+        # the block-size cap trades recall; its drop count rides the
+        # SAME write pass (Observation) into the stage's lineage rows so
+        # the trade is auditable after the run (VERDICT r5 #8)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         keys = blocking.block_keys(
             m, cand, max_block=self.max_block,
-            salts=self.io.read("block_salts"),
+            salts=self.io.read("block_salts"), observation=obs,
         )
         self.io.write(keys, "stage_block", stage="block",
-                      inputs=[self.io.latest_snapshot("stage_mention")])
+                      inputs=[self.io.latest_snapshot("stage_mention")],
+                      metrics=obs)
 
     def stage_pairs(self) -> None:
         keys = self.io.read("stage_block")

@@ -92,6 +92,13 @@ def q(name: str, sql: str | None):
 _RECHECK_FIRST = {
     "mm_extract_features": 3,  # oracle landed r3; last driver row was r2
     "er_pipeline_clusters": 5,  # value oracle landed r5 (was rows-only)
+    # r6: three rows-only -> value-oracle upgrades (VERDICT r5 #3) and
+    # the two de-degenerated fixtures (VERDICT r5 #4)
+    "er_incremental_clusters": 6,
+    "er_retract_clusters": 6,
+    "er_extract_hashes": 6,
+    "j9_anti_join": 6,
+    "o4_except": 6,
 }
 
 
@@ -322,11 +329,19 @@ def j8_semi_join(spark, sf_dir):
 @q(
     "j9_anti_join",
     "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')",
 )
 def j9_anti_join(spark, sf_dir):
+    """Anti join against a DATE-RESTRICTED right side (VERDICT r5 #4):
+    at every test SF some customers have orders only after 1995H1, so
+    the expected output is non-empty and a flipped join type or
+    predicate flips the hash — the unrestricted version compared empty
+    sets for five rounds (every customer has at least one order)."""
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp")
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -522,12 +537,20 @@ def o3_union_distinct(spark, sf_dir):
 @q(
     "o4_except",
     "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
-    "EXCEPT SELECT user_id FROM events WHERE event_type = 'error'",
+    "EXCEPT SELECT user_id FROM events WHERE event_type = 'error' "
+    "AND ts < TIMESTAMP '2024-01-02 00:00:00'",
 )
 def o4_except(spark, sf_dir):
+    """EXCEPT against a TIME-RESTRICTED error cohort (VERDICT r5 #4):
+    every clicker eventually errors at test SFs, so the unrestricted
+    except compared empty sets for five rounds; first-day errorers are
+    a strict subset and the result is non-empty at every SF."""
     ev = T(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    ).select("user_id")
     return a.exceptAll(b.distinct()).distinct()
 
 
@@ -1124,6 +1147,21 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10)
 
 
+# The 100-TB-scale IVF variant (broadcast centroid matrix + Arrow
+# assignment, operators/ann.py): same semantics as ann_ivf_topk at the
+# same n_centroids=16, so it SHARES that oracle (VERDICT r5 #6) — the
+# stronger check is the 64-centroid literal-vs-broadcast equality test
+# in tests/test_dedup_ann.py.
+@q("ann_ivf_broadcast_topk", _REGISTRY["ann_ivf_topk"][1])
+def ann_ivf_broadcast_topk(spark, sf_dir):
+    from ..operators.ann import ivf_topk_broadcast
+
+    e = T(spark, sf_dir, "embeddings")
+    return ivf_topk_broadcast(
+        e.filter(F.col("vec_id") < 5), e, n_centroids=16, k=10
+    )
+
+
 # ==========================================================================
 # Text analysis (driver mandate)
 # ==========================================================================
@@ -1649,29 +1687,48 @@ def benchmark_conll_eval(spark, sf_dir):
     return pairwise_f1_df(labeled, clusters)
 
 
-# Flagship end-to-end value oracle (VERDICT r4 #4): the pipeline's OWN
-# materialized stage_score edges + stage_mention ids are exported to a
-# fixed path, and DuckDB recomputes the transitive closure + min-id
-# canonicalization + singleton fallback over them — so the shipped
-# stage_cluster table is hash-checked, not just "rows plausible". The
-# path must be a literal (oracle strings are static); the query
-# overwrites it on every run, so query-then-oracle sees one consistent
-# export. Scoring itself is NOT re-derived here (encoder cosines aren't
+# End-to-end value oracles (VERDICT r4 #4 / r5 #3): the pipeline's OWN
+# materialized edges + mention ids are exported, and DuckDB recomputes
+# the transitive closure + min-id canonicalization + singleton fallback
+# over them — so the shipped cluster tables are hash-checked, not just
+# "rows plausible". The export path must be decided at IMPORT time
+# (oracle strings are static); it is uid-scoped under the system tempdir
+# (ADVICE r5: a world-fixed /tmp literal is squattable by another local
+# user and races across users), overridable via SPARK_GRAFT_ORACLE_DIR.
+# Residual constraint, documented: two concurrent driver processes
+# running as the SAME uid against the SAME repo still share it — the
+# single-driver-per-host contract; each query overwrites its own subdir
+# so query-then-oracle within one driver sees one consistent export.
+# Scoring itself is NOT re-derived here (encoder cosines aren't
 # SQL-expressible); it is value-checked separately via the f4 similarity
 # oracles + the F1>=0.99 gate.
-_ER_CC_ORACLE_DIR = "/tmp/spark_graft_er_cc_oracle"
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
 
-_ER_CC_CLOSURE_SQL = f"""
+_ER_ORACLE_BASE = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_DIR",
+    _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_er_oracle_u{_os.getuid()}"
+    ),
+)
+
+
+def _cc_closure_sql(subdir: str) -> str:
+    """DuckDB recursive-closure oracle over an exported (edges, mentions)
+    pair: symmetric closure, min-id roots, isolated nodes become
+    singletons — exactly CC1+CC2's contract."""
+    d = f"{_ER_ORACLE_BASE}/{subdir}"
+    return f"""
 WITH RECURSIVE
 edges0 AS (
-  SELECT src, dst FROM read_parquet('{_ER_CC_ORACLE_DIR}/edges/*.parquet')),
+  SELECT src, dst FROM read_parquet('{d}/edges/*.parquet')),
 edges AS (
   SELECT src, dst FROM edges0
   UNION
   SELECT dst AS src, src AS dst FROM edges0),
 nodes AS (
   SELECT mention_id AS node
-  FROM read_parquet('{_ER_CC_ORACLE_DIR}/mentions/*.parquet')),
+  FROM read_parquet('{d}/mentions/*.parquet')),
 reach(node, root) AS (
   SELECT node, node FROM nodes
   UNION
@@ -1681,7 +1738,17 @@ FROM reach GROUP BY node
 """
 
 
-@q("er_pipeline_clusters", _ER_CC_CLOSURE_SQL)
+def _export_cc_oracle(io, subdir: str, edges, mention_ids) -> None:
+    """Write a query's own edge + node tables where its closure oracle
+    reads them (overwrite per run)."""
+    d = f"{_ER_ORACLE_BASE}/{subdir}"
+    edges.select("src", "dst").write.mode("overwrite").parquet(f"{d}/edges")
+    mention_ids.select("mention_id").write.mode("overwrite").parquet(
+        f"{d}/mentions"
+    )
+
+
+@q("er_pipeline_clusters", _cc_closure_sql("pipeline_cc"))
 def er_pipeline_clusters(spark, sf_dir):
     """The FLAGSHIP end-to-end surface, now value-checked: run the full
     staged pipeline, export its own stage_score edges + mention ids to
@@ -1699,26 +1766,26 @@ def er_pipeline_clusters(spark, sf_dir):
     pages = datagen.gen_pages_df(spark, n)
     io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
     clusters = ERPipeline(spark, io).run(pages)
-    io.read("stage_score").select("src", "dst").write.mode(
-        "overwrite"
-    ).parquet(f"{_ER_CC_ORACLE_DIR}/edges")
-    io.read("stage_mention").select("mention_id").write.mode(
-        "overwrite"
-    ).parquet(f"{_ER_CC_ORACLE_DIR}/mentions")
+    _export_cc_oracle(
+        io, "pipeline_cc", io.read("stage_score"), io.read("stage_mention")
+    )
     return clusters.select("mention_id", "cluster_id")
 
 
-@q("er_incremental_clusters", None)
+@q("er_incremental_clusters", _cc_closure_sql("incr_cc"))
 def er_incremental_clusters(spark, sf_dir):
-    """Rows-only driver surface for the O(delta) incremental plan
-    (plans/incremental.py): batch-build 2/3 of the corpus, fold the last
-    1/3 in with IncrementalER.merge, return the cluster-size histogram of
-    the merged table. Exactness of the merge itself is value-checked by
-    the incr_cc_merge oracle + tests/test_incremental.py."""
+    """VALUE-checked driver surface for the O(delta) incremental plan
+    (plans/incremental.py, VERDICT r5 #3 — was rows-only): batch-build
+    2/3 of the corpus, fold the last 1/3 in with IncrementalER.merge,
+    export the warehouse's FULL accumulated edge set + mention ids, and
+    return the merged cluster table itself. The DuckDB recursive closure
+    over those edges must reproduce it exactly — i.e. the O(delta) merge
+    lands on the same fixpoint a full-batch closure over base+delta
+    edges reaches (the merge-op-level guarantee incr_cc_merge checks,
+    now asserted on the shipped end-to-end table)."""
     import tempfile
 
     from .. import datagen
-    from ..operators.cluster import cluster_size_histogram
     from ..sources.tableio import TableIO
     from .incremental import IncrementalER
     from .pipeline import ERPipeline
@@ -1730,23 +1797,30 @@ def er_incremental_clusters(spark, sf_dir):
     merged = IncrementalER(spark, io).merge(
         datagen.gen_pages_df(spark, n - n_base, start=n_base)
     )
-    return cluster_size_histogram(merged)
+    # new-urls-only delta: no tombstones, so live = everything appended
+    _export_cc_oracle(
+        io, "incr_cc", io.read("stage_score"), io.read("stage_mention")
+    )
+    return merged.select("mention_id", "cluster_id")
 
 
-@q("er_retract_clusters", None)
+@q("er_retract_clusters", _cc_closure_sql("retract_cc"))
 def er_retract_clusters(spark, sf_dir):
-    """Rows-only driver surface for the RE-CRAWL retract path
-    (plans/incremental.py): batch-build 2/3 of the corpus, then fold a
-    delta that re-crawls the first 1/6 of the urls with CHANGED content
-    (generation 1) and adds the last 1/3 as new urls. Superseded
-    mentions are tombstoned, their clusters re-solved from surviving
-    edges. Exactness vs a batch rebuild over the reconciled corpus is
-    value-checked by tests/test_retract.py (mention-set equality + F1
-    gate + late-arrival no-op)."""
+    """VALUE-checked driver surface for the RE-CRAWL retract path
+    (plans/incremental.py, VERDICT r5 #3 — was rows-only): batch-build
+    2/3 of the corpus, then fold a delta that re-crawls the first 1/6 of
+    the urls with CHANGED content (generation 1) and adds the last 1/3
+    as new urls. Superseded mentions are tombstoned and their clusters
+    re-solved from surviving edges; the export filters BOTH tables to
+    the live (non-tombstoned) subgraph — edges with a retracted endpoint
+    must not influence the closure, exactly as the retract path drops
+    them — and the DuckDB closure must reproduce the shipped merged
+    table (node removal can split components; the oracle proves the
+    re-solve got every split right). Batch-rebuild parity is separately
+    gated by tests/test_retract.py."""
     import tempfile
 
     from .. import datagen
-    from ..operators.cluster import cluster_size_histogram
     from ..sources.tableio import TableIO
     from .incremental import IncrementalER
     from .pipeline import ERPipeline
@@ -1759,7 +1833,15 @@ def er_retract_clusters(spark, sf_dir):
         spark, max(1, n // 6), start=0, generation=1
     ).unionByName(datagen.gen_pages_df(spark, n - n_base, start=n_base))
     merged = IncrementalER(spark, io).merge(delta)
-    return cluster_size_histogram(merged)
+    tomb = io.read("retracted_mentions").select("mention_id")
+    live_m = io.read("stage_mention").join(tomb, "mention_id", "left_anti")
+    live_ids = live_m.select("mention_id")
+    edges = io.read("stage_score")
+    live_edges = edges.join(
+        live_ids.withColumnRenamed("mention_id", "src"), "src", "semi"
+    ).join(live_ids.withColumnRenamed("mention_id", "dst"), "dst", "semi")
+    _export_cc_oracle(io, "retract_cc", live_edges, live_ids)
+    return merged.select("mention_id", "cluster_id")
 
 
 @q("er_block_size_histogram", None)
@@ -2129,13 +2211,32 @@ def j1_redirect_coalesce(spark, sf_dir):
     )
 
 
-@q("er_extract_hashes", None)  # E1 over synthetic pages -> rows-only
+_ER_EXTRACT_ORACLE_SQL = f"""
+SELECT url, warc_ts,
+       sha256(text_extracted) AS sha256_text,
+       text_extracted = text AS byte_identical
+FROM read_parquet('{_ER_ORACLE_BASE}/extract/*.parquet')
+"""
+
+
+@q("er_extract_hashes", _ER_EXTRACT_ORACLE_SQL)  # E1 over synthetic pages
 def er_extract_hashes(spark, sf_dir):
+    """VALUE-checked E1 surface (VERDICT r5 #3 — was rows-only): the
+    extraction output (raw + extracted text) is exported and DuckDB
+    recomputes sha256 + the byte-identity flag from the exported bytes —
+    so Spark's sha2 kernel and the parquet round-trip of the extracted
+    text are hash-checked. The extraction TRANSFORM itself is pinned by
+    the frozen-v0 sha256 goldens in tests/test_extract.py."""
     from .. import datagen
     from ..operators.extract import with_extracted_text
 
     pages = datagen.gen_pages_df(spark, _er_scale(sf_dir))
-    return with_extracted_text(pages).select(
+    out = with_extracted_text(pages).select(
+        "url", "warc_ts", "text_extracted", "text"
+    )
+    out.write.mode("overwrite").parquet(f"{_ER_ORACLE_BASE}/extract")
+    exported = spark.read.parquet(f"{_ER_ORACLE_BASE}/extract")
+    return exported.select(
         "url",
         "warc_ts",
         F.sha2(F.col("text_extracted"), 256).alias("sha256_text"),

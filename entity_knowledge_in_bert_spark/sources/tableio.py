@@ -100,6 +100,7 @@ class TableIO:
         append: bool = False,
         bucket_by: tuple[list[str], int] | None = None,
         tag: str | None = None,
+        metrics=None,
     ) -> SnapshotInfo:
         """Write df as a NEW snapshot of `table` (create-or-replace
         semantics on read: latest snapshot wins). Appends per-partition
@@ -126,7 +127,15 @@ class TableIO:
         ``tag`` labels the snapshot with a caller token so a group of
         writes (e.g. one streaming micro-batch merge) can be rolled back
         atomically via :meth:`rollback_tag` — the exactly-once mechanism
-        for at-least-once foreachBatch replays."""
+        for at-least-once foreachBatch replays.
+
+        ``metrics`` persists plan-level counters into this snapshot's
+        ``_lineage`` rows (VERDICT r5 #8 — a cap that trades recall must
+        leave its drop count in the audit trail, not just in a
+        same-process Observation that the run discards). Accepts a plain
+        dict, or a ``pyspark.sql.Observation`` attached to ``df``'s plan
+        — the write action itself materializes the observed metrics, so
+        reading it here costs no extra job."""
         if bucket_by is not None and (append or partition_by):
             raise ValueError("bucket_by excludes append/partition_by")
         if bucket_by is not None and self.catalog and len(bucket_by[0]) > 1:
@@ -241,7 +250,27 @@ class TableIO:
             run = run_id or uuid.uuid4().hex[:12]
             # lineage is driver-tiny: write it with pyarrow directly (no
             # Spark job); Spark reads it back fine via read.parquet
+            import json as _json
+
             import pyarrow as pa
+
+            # resolve plan metrics AFTER the write action above: an
+            # Observation attached to df's plan is fully populated now
+            # (the write materialized it), so .get blocks for ~0 time.
+            mvals: dict = {}
+            if metrics is not None:
+                if isinstance(metrics, dict):
+                    mvals = dict(metrics)
+                else:
+                    try:
+                        mvals = dict(metrics.get)
+                    except Exception:
+                        # AQE empty-relation pruning can elide the
+                        # observed subtree (documented _cap_bucket
+                        # caveat) — record nothing rather than hang/fail
+                        # the write
+                        mvals = {}
+            metrics_json = _json.dumps(mvals, sort_keys=True, default=str)
 
             now = int(time.time() * 1_000_000)
             n = max(len(part_counts), 1)
@@ -258,6 +287,7 @@ class TableIO:
                     ),
                     "input_snapshot": [",".join(inputs or [])] * n,
                     "wrote_ts": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+                    "metrics": [metrics_json] * n,
                 }
             )
             lpath = os.path.join(self.warehouse, "_lineage", f"{stage}-{snap_id}")

@@ -125,8 +125,12 @@ def test_frontier_partition_sizing_unclamped():
     # sanity cap
     assert plan(EDGES_PER_PARTITION * (MAX_FRONTIER_PARTITIONS + 5), 8, 8) \
         == MAX_FRONTIER_PARTITIONS
-    # unknown edge count: fall back to the input's split count
-    assert plan(None, 48, 8) == 48
+    # unknown edge count: fall back to the input's split count, clamped
+    # to 4 tasks/core — a wide corpus-partitioned input with a tiny
+    # frontier must not schedule thousands of near-empty tasks on the
+    # no-count callers (ADVICE r5)
+    assert plan(None, 48, 8) == 32
+    assert plan(None, 20, 8) == 20
     assert plan(None, 2, 8) == 4
 
 
@@ -157,3 +161,49 @@ def test_cc_releases_stale_frontier_checkpoints(spark):
             break
         time.sleep(0.2)
     assert len(ours) <= 2, f"stale frontier checkpoints leaked: {len(ours)}"
+
+
+def test_cc_release_spares_foreign_persisted_rdds(spark):
+    """Checkpoint release only touches RDDs the CC loop's own bracketed
+    materializations created (ADVICE r5): a DataFrame some other code
+    persisted BEFORE the loop ran — and one persisted by an on_iteration
+    callback OUTSIDE the bracketed jobs — must remain cached and fully
+    usable after CC completes (unpersisting a foreign localCheckpoint
+    would truncate its lineage unrecoverably)."""
+    from entity_knowledge_in_bert_spark.operators.cluster import (
+        connected_components,
+    )
+
+    foreign = spark.range(100).toDF("x").persist()
+    assert foreign.count() == 100  # materialize the cache
+    fid = foreign.rdd.id()  # noqa: F841 — force the plan to exist
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    assert connected_components(edges).count() == 101
+    # the foreign cache is still registered and still readable
+    jstorage = foreign._jdf.storageLevel()
+    assert jstorage.useMemory() or jstorage.useDisk(), (
+        "foreign persisted DataFrame was unpersisted by CC's release"
+    )
+    assert foreign.count() == 100
+    foreign.unpersist()
+
+
+def test_cc_release_degrades_without_jvm_handle(monkeypatch, spark):
+    """Where the private sc._jsc handle is unavailable (Spark Connect),
+    release must degrade to a no-op — CC still converges to the right
+    clusters, nothing crashes (VERDICT r5 #7)."""
+    from entity_knowledge_in_bert_spark.operators import cluster as C
+
+    monkeypatch.setattr(
+        C, "_persistent_ids", lambda sc: None
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    rows = {
+        (r["mention_id"], r["cluster_id"])
+        for r in C.connected_components(edges).collect()
+    }
+    assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

@@ -332,3 +332,35 @@ def test_ivf_broadcast_matches_literal_at_64_centroids(spark):
     }
     assert lit_rows == bc_rows
     assert len(bc_rows) > 0
+
+
+def test_round6_matches_spark_round_on_signed_halfway_grid(spark):
+    """ADVICE r5: the broadcast-IVF kernel's rounding must take F.round's
+    direction (BigDecimal HALF_UP = half AWAY FROM ZERO) on negative
+    cosines too — floor(x*1e6+0.5) rounded -0.0000005 toward +inf. Pin
+    a grid of signed values including exact .5 boundaries (representable
+    in float64 up to the documented 1-ulp product residual) against
+    Spark itself."""
+    import numpy as np
+
+    from entity_knowledge_in_bert_spark.operators.ann import _round6
+
+    grid = []
+    for mag in [0.0000005, 0.0000015, 0.1234565, 0.9999995, 0.7071067,
+                0.0000004, 0.0000006, 0.3333333, 0.6666667]:
+        grid.extend([mag, -mag])
+    grid.extend([0.0, 1.0, -1.0])
+    df = spark.createDataFrame([(float(x),) for x in grid], "x double")
+    spark_rounded = [
+        r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()
+    ]
+    ours = _round6(np.array(grid, dtype="float64"))
+    for x, s, o in zip(grid, spark_rounded, ours):
+        # exact agreement except where x*1e6 itself crosses a .5
+        # boundary by float64 representation error (the documented
+        # residual); assert that residual never exceeds 1e-6 and that
+        # representable cases agree exactly
+        assert abs(s - o) <= 1e-6 + 1e-12, (x, s, o)
+        prod = x * 1e6
+        if abs(prod - round(prod)) > 1e-9 and abs(abs(prod % 1) - 0.5) > 1e-9:
+            assert s == o, (x, s, o)

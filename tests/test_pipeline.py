@@ -219,3 +219,18 @@ def test_onnx_encoder_branch_session_lifecycle(spark):
         raw = np.array([1.0, ids[k, 0], ids[k].sum()])
         expected.add(round((raw / np.linalg.norm(raw))[0] / (raw / np.linalg.norm(raw))[2], 6))
     assert init_counts == expected  # inits==1 reproduced exactly
+
+
+def test_block_stage_lineage_carries_cap_metrics(spark, pipeline_run):
+    """The pipeline threads a block-cap Observation into the stage_block
+    write (VERDICT r5 #8): its lineage rows must carry the same-pass
+    rows_pre_cap / rows_dropped_by_cap counters so the recall trade is
+    auditable after the run, not only in the discarded Observation."""
+    import json
+
+    io, _ = pipeline_run
+    lin = io.read_lineage().filter(F.col("stage") == "block")
+    m = json.loads(lin.select("metrics").first()["metrics"])
+    assert set(m) == {"rows_dropped_by_cap", "rows_pre_cap"}
+    assert m["rows_pre_cap"] > 0
+    assert 0 <= m["rows_dropped_by_cap"] <= m["rows_pre_cap"]

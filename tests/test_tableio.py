@@ -278,3 +278,45 @@ def test_default_driver_mem_derivation():
     with open("/proc/meminfo") as fh:
         total_gb = int(fh.readline().split()[1]) // (1024 * 1024)
     assert n == max(2, min(48, int(total_gb * 0.7)))
+
+
+def test_write_persists_observation_metrics_into_lineage(spark, io):
+    """VERDICT r5 #8: a cap that trades recall must leave its drop count
+    in the audit trail. An Observation attached to the written plan is
+    materialized by the write action itself and its counters land in the
+    snapshot's _lineage rows as JSON — no extra Spark job."""
+    import json
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = (
+        spark.range(100)
+        .withColumn("big", F.col("id") < 30)
+        .observe(
+            obs,
+            F.sum(F.when(F.col("big"), 1).otherwise(0)).alias(
+                "rows_dropped_by_cap"
+            ),
+            F.count(F.lit(1)).alias("rows_pre_cap"),
+        )
+        .filter(~F.col("big"))
+        .drop("big")
+    )
+    io.write(df, "t_obs", stage="capped_stage", metrics=obs)
+    lin = io.read_lineage().filter(F.col("stage") == "capped_stage")
+    payloads = {r["metrics"] for r in lin.select("metrics").collect()}
+    assert len(payloads) == 1
+    m = json.loads(payloads.pop())
+    assert m["rows_dropped_by_cap"] == 30
+    assert m["rows_pre_cap"] == 100
+
+
+def test_write_persists_plain_dict_metrics(spark, io):
+    import json
+
+    io.write(spark.range(5), "t_dm", stage="dict_stage",
+             metrics={"rows_dropped_by_cap": 7})
+    lin = io.read_lineage().filter(F.col("stage") == "dict_stage")
+    m = json.loads(lin.select("metrics").first()["metrics"])
+    assert m == {"rows_dropped_by_cap": 7}
