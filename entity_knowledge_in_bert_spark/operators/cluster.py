@@ -132,6 +132,77 @@ def _release_stale_checkpoints(sc, tracked_ids: set) -> None:
     tracked_ids.intersection_update({newest})
 
 
+def _hash_to_min(u, v):
+    """Pure-numpy local connected components: vectorized hash-to-min with
+    pointer jumping (labels only ever decrease -> terminates; pointer
+    jumping doubles propagation reach per inner pass, so a length-L chain
+    converges in O(log L) edge passes instead of L). Returns
+    ``(ids, roots)`` — for every distinct node id, the min node id of its
+    component within THIS edge set. Unit-tested without Spark
+    (tests/test_cluster.py)."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    label = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = label.copy()
+        np.minimum.at(label, iu, label[iv])
+        np.minimum.at(label, iv, label[iu])
+        while True:  # pointer-jump to the fixpoint of current pointers
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, old):
+            break
+    return ids, ids[label]
+
+
+def _contract_partitions(canon: DataFrame) -> DataFrame:
+    """Partition-local contraction (the classic CC pre-pass, cf. GraphX's
+    local aggregation): within each partition, solve the LOCAL connected
+    components exactly (``_hash_to_min``) and emit one canonical
+    (member, local_root) star edge per non-root member — a single narrow
+    ``mapInPandas`` pass, NO shuffle.
+
+    CC-preserving: a local component's members stay connected through
+    their shared root, and stars never connect nodes that were not
+    already connected, so the global components and their min ids are
+    unchanged (equality-tested vs the uncontracted loop). Output is
+    canonical (u > v) because the root is the local min.
+
+    When it pays (and when it doesn't — measured, BASELINE.md r6): on
+    HIGH-DIAMETER edge sets a length-L intra-partition chain collapses
+    to depth 1 before the first shuffle, replacing O(log L) LS/SS
+    rounds. On the ER pipeline's dense block-clique topology it is
+    NEUTRAL: cliques are incompressible by node-local stars (a clique's
+    contraction is the same star LS/SS iteration 0 produces anyway) and
+    each node's edges scatter across ~min(degree, parts) partitions, so
+    the pass re-emits ~1 row per (node, partition) incidence. Hence
+    default-off in ``connected_components``. At 10^11 edges the pass
+    runs on ~2M-edge partitions (32 MB arrays, bounded by
+    ``_plan_frontier_partitions``), one narrow pass, no shuffle."""
+
+    def contract(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy(dtype=np.int64))
+            vs.append(pdf["v"].to_numpy(dtype=np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        ids, roots = _hash_to_min(u, v)
+        mask = ids != roots
+        yield pd.DataFrame({"u": ids[mask], "v": roots[mask]})
+
+    return canon.mapInPandas(contract, schema="u long, v long")
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -177,6 +248,7 @@ def connected_components(
     on_iteration=None,
     start_frontier: DataFrame | None = None,
     n_edges: int | None = None,
+    local_contract: bool = False,
 ) -> DataFrame:
     """EDGES(src, dst, ...) -> (mention_id, cluster_id).
 
@@ -191,6 +263,18 @@ def connected_components(
     toward per-component minima), so resuming from ANY completed
     iteration reaches the same fixpoint as an uninterrupted run
     (equality-tested in test_cc_durable_iterations).
+
+    ``local_contract``: run the partition-local contraction pre-pass
+    (``_contract_partitions``) on the fresh-edges path before the LS/SS
+    loop — same fixpoint (equality-tested in test_cc_contract_equality).
+    Default OFF, from measurement (BASELINE.md r6): the pipeline's match
+    graph is dense block-CLIQUES (~24 distinct canonical edges per node
+    at the 400k probe), which local contraction cannot compress — each
+    node's edges scatter across ~min(degree, parts) partitions and every
+    partition re-emits nearly every node it sees (measured 16.4M ->
+    16.2M). Turn it ON for high-diameter edge sets (chains/trees from
+    e.g. as-of linkage), where it collapses a length-L chain before the
+    first shuffle instead of after O(log L) LS/SS rounds.
     """
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
@@ -223,17 +307,22 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
     else:
-        # canonical form: (u=max, v=min), deduped once up front
-        cur = (
+        # canonical form: (u=max, v=min). Repartition BY KEY first and
+        # dedup after: hash partitioning on (u, v) satisfies the
+        # dropDuplicates distribution, so Catalyst plans ONE exchange
+        # where distinct-then-repartition planned two.
+        canon = (
             edges.select(
                 F.greatest("src", "dst").alias("u"),
                 F.least("src", "dst").alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .repartition(parts)
-            .localCheckpoint(eager=True)
+            .repartition(parts, "u", "v")
+            .dropDuplicates()
         )
+        if local_contract:
+            canon = _contract_partitions(canon)
+        cur = canon.localCheckpoint(eager=True)
     _bracket(before)
     prev_sig = None
     for i in range(max_iters):

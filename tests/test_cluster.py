@@ -72,6 +72,57 @@ def test_cc_random_graphs(spark):
             assert got[node] == oracle[node], f"trial {trial}, node {node}"
 
 
+def test_hash_to_min_kernel():
+    """Pure-numpy local-CC kernel (no Spark): chain (worst case for
+    naive propagation), star, duplicate edges, multiple components,
+    non-contiguous ids."""
+    import numpy as np
+
+    from entity_knowledge_in_bert_spark.operators.cluster import _hash_to_min
+
+    # 1000-node chain with ids reversed (min at the far end)
+    u = np.arange(1, 1000, dtype=np.int64)
+    v = u - 1
+    ids, roots = _hash_to_min(u, v)
+    assert (roots == 0).all() and len(ids) == 1000
+    # star + separate clique + duplicate edges, sparse ids
+    u2 = np.array([100, 100, 100, 100, 7_000_000_000, 7_000_000_000],
+                  dtype=np.int64)
+    v2 = np.array([205, 310, 205, 415, 6_999_999_999, 6_999_999_999],
+                  dtype=np.int64)
+    ids2, roots2 = _hash_to_min(u2, v2)
+    m = dict(zip(ids2.tolist(), roots2.tolist()))
+    assert m[100] == m[205] == m[310] == m[415] == 100
+    assert m[7_000_000_000] == m[6_999_999_999] == 6_999_999_999
+
+
+def test_cc_contract_equality(spark):
+    """The contraction pre-pass must land on exactly the uncontracted
+    loop's fixpoint — random graph AND a long chain whose edges are
+    scattered across partitions (the contraction's hard case: local
+    views see disjoint chain fragments)."""
+    rng = random.Random(7)
+    n = 300
+    rand_edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    rand_edges = [(u, v) for u, v in rand_edges if u != v]
+    chain_edges = [(i, i + 1) for i in range(500)]
+    rng.shuffle(chain_edges)
+    for edges in (rand_edges, chain_edges):
+        df = spark.createDataFrame(
+            [(int(u), int(v), 1.0) for u, v in edges],
+            "src long, dst long, score double",
+        ).repartition(8)
+        with_c = {
+            r["mention_id"]: r["cluster_id"]
+            for r in connected_components(df, local_contract=True).collect()
+        }
+        without_c = {
+            r["mention_id"]: r["cluster_id"]
+            for r in connected_components(df, local_contract=False).collect()
+        }
+        assert with_c == without_c
+
+
 def test_assign_clusters_singletons(spark):
     mentions = spark.createDataFrame([(i,) for i in range(10)], "mention_id long")
     edges = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)],
