@@ -195,8 +195,13 @@ def block_keys(
         cap = F.lit(max_block * cap_factor)
         sized = sized.observe(
             observation,
-            F.sum(
-                F.when(F.col("_bsize") > cap, F.lit(1)).otherwise(F.lit(0))
+            # coalesce: SUM over an empty plan is NULL, which would land
+            # as a null counter in lineage and break audit arithmetic
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_bsize") > cap, F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias("rows_dropped_by_cap"),
             F.count(F.lit(1)).alias("rows_pre_cap"),
         )

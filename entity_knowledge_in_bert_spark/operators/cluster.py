@@ -46,7 +46,10 @@ MIN_EDGES_PER_PARTITION = 50_000
 
 
 def _plan_frontier_partitions(
-    n_edges: int | None, fallback_splits: int, default_parallelism: int
+    n_edges: int | None,
+    fallback_splits: int,
+    default_parallelism: int,
+    shuffle_partitions: int | None = None,
 ) -> int:
     """Pure sizing rule (unit-tested without Spark): ceil(edges / 2M)
     density target, padded to 4 tasks/core while partitions stay above
@@ -62,12 +65,18 @@ def _plan_frontier_partitions(
         # would schedule thousands of near-empty tasks per LS/SS
         # iteration on exactly the callers that don't pass counts
         # (assign_clusters, dedup CC, query oracles — ADVICE r5). Clamp
-        # to the cluster's 4-tasks/core width; callers with big frontiers
-        # should thread n_edges through (the pipeline does, from the
-        # stage_score manifest — free).
-        est = min(
-            fallback_splits, FRONTIER_WIDTH_FACTOR * max(1, default_parallelism)
-        )
+        # to the width every OTHER shuffle of unknown size gets — the
+        # larger of 4 tasks/core and the session's
+        # spark.sql.shuffle.partitions — so a tuned production cluster
+        # (shuffle width in the thousands) never squeezes a genuinely
+        # large unknown frontier onto 4xcores tasks, while a tiny
+        # frontier schedules no more tasks than any ordinary groupBy.
+        # Callers that know their edge count should still thread n_edges
+        # (the pipeline does, from the stage_score manifest — free).
+        width = FRONTIER_WIDTH_FACTOR * max(1, default_parallelism)
+        if shuffle_partitions:
+            width = max(width, int(shuffle_partitions))
+        est = min(fallback_splits, width)
     return max(4, min(MAX_FRONTIER_PARTITIONS, est))
 
 
@@ -75,9 +84,15 @@ def _frontier_partitions(src: DataFrame, n_edges: int | None) -> int:
     """Partition count for the CC frontier: sized from the edge count
     when the caller knows it (the pipeline reads it from the stage_score
     manifest — free, no job), else from the input's split count."""
-    sc = src.sparkSession.sparkContext
+    spark = src.sparkSession
+    sc = spark.sparkContext
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuffle_parts = None
     return _plan_frontier_partitions(
-        n_edges, src.rdd.getNumPartitions(), sc.defaultParallelism
+        n_edges, src.rdd.getNumPartitions(), sc.defaultParallelism,
+        shuffle_partitions=shuffle_parts,
     )
 
 
@@ -368,10 +383,14 @@ def connected_components(
     return assign.unionByName(roots)
 
 
-def assign_clusters(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+def assign_clusters(
+    mentions: DataFrame, edges: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """Mention-complete cluster table: unmatched mentions become
-    singleton clusters (cluster_id = own mention_id)."""
-    comp = connected_components(edges)
+    singleton clusters (cluster_id = own mention_id). ``n_edges``
+    (optional) sizes the CC frontier when the caller knows the edge
+    count (e.g. from a snapshot manifest) — see connected_components."""
+    comp = connected_components(edges, n_edges=n_edges)
     return (
         mentions.select("mention_id")
         .join(comp, "mention_id", "left")

@@ -41,7 +41,11 @@ def _endpoints(edges: DataFrame) -> DataFrame:
     )
 
 
-def merge_components(old_assign: DataFrame, delta_edges: DataFrame) -> DataFrame:
+def merge_components(
+    old_assign: DataFrame,
+    delta_edges: DataFrame,
+    n_edges: int | None = None,
+) -> DataFrame:
     """(mention_id, cluster_id) × EDGES(src, dst) -> (mention_id, cluster_id).
 
     Exactly equal (same rows, same canonical min-id cluster ids) to
@@ -54,6 +58,12 @@ def merge_components(old_assign: DataFrame, delta_edges: DataFrame) -> DataFrame
     nodes; they join whichever component the delta connects them to.
     Isolated new nodes (no edge at all) are the caller's concern, same
     convention as ``cluster.assign_clusters``.
+
+    ``n_edges`` (optional): an estimate/upper bound of the touched
+    subgraph's edge count (|affected assignments| + |delta edges| is a
+    safe bound from manifests), threaded into the CC frontier sizing —
+    without it the frontier width falls back to the session's shuffle
+    width (see cluster._plan_frontier_partitions).
     """
     old_assign = old_assign.select("mention_id", "cluster_id")
     touched = (
@@ -68,6 +78,6 @@ def merge_components(old_assign: DataFrame, delta_edges: DataFrame) -> DataFrame
     sub_edges = star.unionByName(delta_edges.select("src", "dst")).filter(
         F.col("src") != F.col("dst")
     )
-    merged = connected_components(sub_edges)
+    merged = connected_components(sub_edges, n_edges=n_edges)
     untouched = old_assign.join(touched, "cluster_id", "anti")
     return untouched.unionByName(merged)

@@ -1705,12 +1705,32 @@ def benchmark_conll_eval(spark, sf_dir):
 import os as _os  # noqa: E402
 import tempfile as _tempfile  # noqa: E402
 
-_ER_ORACLE_BASE = _os.environ.get(
-    "SPARK_GRAFT_ORACLE_DIR",
-    _os.path.join(
+
+def _resolve_oracle_base() -> str:
+    """Pick the oracle export dir ONCE at import (oracle SQL strings are
+    static, so the path must be fixed before registration). The uid
+    suffix avoids cross-user collisions, but a fixed name in
+    world-writable /tmp is still squattable by PRE-creation — so create
+    it 0700 and verify we own it; if a foreign or group/other-writable
+    dir squats the name, fall back to a fresh mkdtemp (private by
+    construction, random suffix)."""
+    env = _os.environ.get("SPARK_GRAFT_ORACLE_DIR")
+    if env:
+        return env  # operator-chosen: trust their placement
+    base = _os.path.join(
         _tempfile.gettempdir(), f"spark_graft_er_oracle_u{_os.getuid()}"
-    ),
-)
+    )
+    try:
+        _os.makedirs(base, mode=0o700, exist_ok=True)
+        st = _os.stat(base)
+        if st.st_uid == _os.getuid() and not (st.st_mode & 0o022):
+            return base
+    except OSError:
+        pass
+    return _tempfile.mkdtemp(prefix="spark_graft_er_oracle_")
+
+
+_ER_ORACLE_BASE = _resolve_oracle_base()
 
 
 def _cc_closure_sql(subdir: str) -> str:
@@ -1738,7 +1758,7 @@ FROM reach GROUP BY node
 """
 
 
-def _export_cc_oracle(io, subdir: str, edges, mention_ids) -> None:
+def _export_cc_oracle(subdir: str, edges, mention_ids) -> None:
     """Write a query's own edge + node tables where its closure oracle
     reads them (overwrite per run)."""
     d = f"{_ER_ORACLE_BASE}/{subdir}"
@@ -1767,7 +1787,7 @@ def er_pipeline_clusters(spark, sf_dir):
     io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
     clusters = ERPipeline(spark, io).run(pages)
     _export_cc_oracle(
-        io, "pipeline_cc", io.read("stage_score"), io.read("stage_mention")
+        "pipeline_cc", io.read("stage_score"), io.read("stage_mention")
     )
     return clusters.select("mention_id", "cluster_id")
 
@@ -1799,7 +1819,7 @@ def er_incremental_clusters(spark, sf_dir):
     )
     # new-urls-only delta: no tombstones, so live = everything appended
     _export_cc_oracle(
-        io, "incr_cc", io.read("stage_score"), io.read("stage_mention")
+        "incr_cc", io.read("stage_score"), io.read("stage_mention")
     )
     return merged.select("mention_id", "cluster_id")
 
@@ -1840,7 +1860,7 @@ def er_retract_clusters(spark, sf_dir):
     live_edges = edges.join(
         live_ids.withColumnRenamed("mention_id", "src"), "src", "semi"
     ).join(live_ids.withColumnRenamed("mention_id", "dst"), "dst", "semi")
-    _export_cc_oracle(io, "retract_cc", live_edges, live_ids)
+    _export_cc_oracle("retract_cc", live_edges, live_ids)
     return merged.select("mention_id", "cluster_id")
 
 

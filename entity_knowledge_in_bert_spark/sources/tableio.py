@@ -369,7 +369,12 @@ class TableIO:
         return self.spark.read.parquet(*paths)
 
     def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(
+        # mergeSchema: lineage columns accrete over engine versions (the
+        # `metrics` map landed in r6) — a long-lived warehouse holds rows
+        # written before AND after such a change, and a plain glob read
+        # resolves one footer's schema, either dropping the new column or
+        # failing to resolve it on old files.
+        return self.spark.read.option("mergeSchema", "true").parquet(
             os.path.join(self.warehouse, "_lineage", "*")
         )
 

@@ -116,3 +116,22 @@ def test_cap_by_size_drops_grown_blocks(spark):
     kept = {(r["mention_id"], r["block_key"]) for r in out.collect()}
     # E:9:0 has combined size 4 > 2 -> gone; E:7:0 has size 2 <= 2 -> kept
     assert kept == {("s1", "E:7:0"), ("s2", "E:7:0")}
+
+
+def test_cap_counter_is_zero_not_null_on_empty_input(spark):
+    """SUM over an empty observed plan is NULL; the counter must land as
+    0 so lineage audit arithmetic never meets a None."""
+    from pyspark.sql import Observation
+
+    m = spark.createDataFrame(
+        [], "mention_id string, surface string, url string, norm string"
+    )
+    cand = spark.createDataFrame(
+        [], "mention_id string, entity_id string, prior double"
+    )
+    obs = Observation("empty_cap")
+    out = blocking.block_keys(m, cand, max_block=4, observation=obs)
+    assert out.count() == 0
+    got = obs.get
+    assert got["rows_dropped_by_cap"] == 0
+    assert got["rows_pre_cap"] == 0

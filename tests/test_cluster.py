@@ -183,6 +183,13 @@ def test_frontier_partition_sizing_unclamped():
     assert plan(None, 48, 8) == 32
     assert plan(None, 20, 8) == 20
     assert plan(None, 2, 8) == 4
+    # unknown edge count on a TUNED cluster: the session's shuffle width
+    # lifts the clamp, so a genuinely large unknown frontier is never
+    # squeezed onto 4xcores tasks (review r6) — while the split-count cap
+    # still bounds tiny frontiers
+    assert plan(None, 100_000, 8, shuffle_partitions=10_000) == 10_000
+    assert plan(None, 48, 8, shuffle_partitions=10_000) == 48
+    assert plan(None, 100_000, 8, shuffle_partitions=16) == 32
 
 
 def test_cc_releases_stale_frontier_checkpoints(spark):

@@ -320,3 +320,38 @@ def test_write_persists_plain_dict_metrics(spark, io):
     lin = io.read_lineage().filter(F.col("stage") == "dict_stage")
     m = json.loads(lin.select("metrics").first()["metrics"])
     assert m == {"rows_dropped_by_cap": 7}
+
+
+def test_read_lineage_merges_pre_metrics_schema(spark, io):
+    """A long-lived warehouse holds lineage rows written BEFORE a column
+    accreted (the `metrics` map landed in r6). read_lineage must merge
+    schemas across file generations: old rows surface metrics=null, new
+    rows keep their payload — instead of an unresolved-column error or
+    silently dropping the column depending on which footer wins."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    io.write(spark.range(3), "t_ms", stage="new_gen",
+             metrics={"k": 1})
+    # simulate a pre-r6 lineage file: same columns minus `metrics`
+    old = pa.table({
+        "table": ["t_old"], "snapshot_id": ["s0"], "stage": ["old_gen"],
+        "partition_id": pa.array([0], pa.int32()),
+        "rows_out": pa.array([3], pa.int64()),
+        "input_snapshot": [""],
+        "wrote_ts": pa.array(
+            [pa.scalar(0, pa.timestamp("us", tz="UTC"))],
+            pa.timestamp("us", tz="UTC")),
+    })
+    d = os.path.join(io.warehouse, "_lineage", "old_gen-s0")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(old, os.path.join(d, "lineage.parquet"))
+
+    lin = io.read_lineage()
+    assert "metrics" in lin.columns
+    rows = {r["stage"]: r["metrics"]
+            for r in lin.select("stage", "metrics").collect()}
+    assert rows["old_gen"] is None
+    assert rows["new_gen"] is not None
