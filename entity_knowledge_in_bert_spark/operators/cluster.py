@@ -264,6 +264,7 @@ def connected_components(
     start_frontier: DataFrame | None = None,
     n_edges: int | None = None,
     local_contract: bool = False,
+    contract_by: str | None = None,
 ) -> DataFrame:
     """EDGES(src, dst, ...) -> (mention_id, cluster_id).
 
@@ -290,6 +291,21 @@ def connected_components(
     16.2M). Turn it ON for high-diameter edge sets (chains/trees from
     e.g. as-of linkage), where it collapses a length-L chain before the
     first shuffle instead of after O(log L) LS/SS rounds.
+
+    ``contract_by``: name of an edge column (e.g. the blocking key) to
+    GROUP the contraction pre-pass by — the fix for exactly the scatter
+    that makes ``local_contract`` neutral on block-clique topologies.
+    Repartitioning by the block key co-locates each block's ENTIRE
+    matched subgraph in one partition, so ``_contract_partitions``
+    collapses it to one star edge per non-root member: the LS/SS loop's
+    input shrinks from ~degree edges/node (measured ~24 at the 400k
+    probe) to ~#(node, block) memberships. Costs the same single
+    exchange as the default init (keyed by block instead of by edge) on
+    the full edge set; every subsequent iteration shuffles the
+    contracted set. Same fixpoint (star contraction is CC-preserving
+    under ANY partitioning — equality-tested in
+    test_cc_block_contract_equality). Ignored when the column is absent
+    or ``start_frontier`` is set.
     """
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
@@ -321,6 +337,26 @@ def connected_components(
             .repartition(parts)
             .localCheckpoint(eager=True)
         )
+    elif contract_by is not None and contract_by in edges.columns:
+        # group-contract init: ONE exchange keyed by the grouping column
+        # co-locates each group's (block's) whole matched subgraph, then
+        # the narrow contraction pass collapses it to per-node star
+        # edges. No dropDuplicates: match edges are pair-deduped
+        # upstream, and the contracted stars are near-unique (a node
+        # emits one edge per partition it appears in); LS/SS is
+        # duplicate-tolerant, so residual dups cost rows, not
+        # correctness.
+        canon = (
+            edges.select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+                F.col(contract_by).alias("_grp"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .repartition(parts, "_grp")
+            .drop("_grp")
+        )
+        cur = _contract_partitions(canon).localCheckpoint(eager=True)
     else:
         # canonical form: (u=max, v=min). Repartition BY KEY first and
         # dedup after: hash partitioning on (u, v) satisfies the

@@ -158,10 +158,16 @@ def score_pairs(pairs_feat: DataFrame, aliases: DataFrame) -> DataFrame:
     return scored
 
 
-def match_edges(scored: DataFrame) -> DataFrame:
-    """match rule -> EDGES (src, dst, score)."""
+def match_edges(scored: DataFrame, keep: tuple = ()) -> DataFrame:
+    """match rule -> EDGES (src, dst, score).
+
+    ``keep``: extra columns to carry onto the edge table (e.g.
+    ``("block_key",)`` so the cluster stage can group-contract each
+    block's matched subgraph before the CC loop — see
+    cluster.connected_components(contract_by=...))."""
     return scored.filter(F.col("match")).select(
         F.col("mention_a").alias("src"),
         F.col("mention_b").alias("dst"),
         F.col("score"),
+        *[F.col(c) for c in keep],
     )

@@ -31,6 +31,7 @@ class ERPipeline:
         io: TableIO,
         max_block: int = 64,
         bucket_mentions: int | None = None,
+        block_contract: bool = False,
     ):
         """``bucket_mentions``: write stage_mention hash-bucketed on
         mention_id into this many buckets (TableIO bucket_by). The pair
@@ -39,11 +40,20 @@ class ERPipeline:
         read straight into sort-merge joins with no exchange on the
         corpus-sized side. Off by default in the sandbox (bucket count
         is a cluster-sizing decision: ~corpus_bytes / 1 GB at 100 TB);
-        exercised by tests/test_pipeline.py."""
+        exercised by tests/test_pipeline.py.
+
+        ``block_contract``: carry the blocking key onto the match-edge
+        table and group-contract each block's matched subgraph in the
+        CC init (cluster.connected_components(contract_by=)) — the
+        LS/SS loop then iterates over ~#(node, block) star edges
+        instead of the full ~degree-dense match graph. Same cluster
+        table (equality-tested). Default off pending its own scaling
+        measurement (BASELINE.md r6 froze the measured build)."""
         self.spark = spark
         self.io = io
         self.max_block = max_block
         self.bucket_mentions = bucket_mentions
+        self.block_contract = block_contract
         self.timings: dict[str, float] = {}
 
     # each stage: read prev snapshot -> transform -> write snapshot
@@ -116,7 +126,8 @@ class ERPipeline:
         aliases = datagen.alias_df(self.spark)
         feat = pairs.attach_features(p, m)
         scored = scoring.score_pairs(feat, aliases)
-        edges = scoring.match_edges(scored)
+        keep = ("block_key",) if self.block_contract else ()
+        edges = scoring.match_edges(scored, keep=keep)
         self.io.write(edges, "stage_score", stage="score",
                       inputs=[self.io.latest_snapshot("stage_pairs")])
 
@@ -163,7 +174,9 @@ class ERPipeline:
             # else: stale frontier (stage_score moved on, or a pre-lineage
             # frontier with no recorded inputs) — fall back to a fresh run
         comp = cluster.connected_components(
-            edges, on_iteration=per_iter, start_frontier=start, n_edges=n_edges
+            edges, on_iteration=per_iter, start_frontier=start,
+            n_edges=n_edges,
+            contract_by="block_key" if self.block_contract else None,
         )
         clusters = (
             m.select("mention_id")

@@ -123,6 +123,48 @@ def test_cc_contract_equality(spark):
         assert with_c == without_c
 
 
+def test_cc_block_contract_equality(spark):
+    """contract_by groups the contraction by an edge column (the blocking
+    key): same fixpoint as the plain loop on (a) clique-per-block edges —
+    the topology the option exists for, (b) blocks that OVERLAP (shared
+    nodes bridge cliques across groups), (c) a cross-partition chain all
+    in one block. Also: the option is a no-op when the column is absent."""
+    rng = random.Random(11)
+    # (a)+(b): 30 blocks of 8 nodes each, consecutive blocks share a node
+    edges = []
+    for b in range(30):
+        base = b * 7  # stride 7 < size 8 -> one shared node per pair
+        members = list(range(base, base + 8))
+        edges += [
+            (members[i], members[j], 1.0, f"B{b}")
+            for i in range(8)
+            for j in range(i + 1, 8)
+        ]
+    # (c): a chain in a single block, edges scattered
+    chain = [(1000 + i, 1000 + i + 1, 1.0, "CHAIN") for i in range(200)]
+    rng.shuffle(chain)
+    df = spark.createDataFrame(
+        edges + chain, "src long, dst long, score double, block_key string"
+    ).repartition(8)
+    with_c = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, contract_by="block_key").collect()
+    }
+    without_c = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df.drop("block_key")).collect()
+    }
+    assert with_c == without_c
+    # absent column -> silently falls back to the plain init
+    no_col = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(
+            df.drop("block_key"), contract_by="block_key"
+        ).collect()
+    }
+    assert no_col == without_c
+
+
 def test_assign_clusters_singletons(spark):
     mentions = spark.createDataFrame([(i,) for i in range(10)], "mention_id long")
     edges = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)],
