@@ -53,6 +53,15 @@ def main() -> None:
     ap.add_argument("--warehouse", default="/tmp/er_warehouse")
     ap.add_argument("--n-pages", type=int, default=4000)
     ap.add_argument("--max-block", type=int, default=64)
+    ap.add_argument(
+        "--block-contract",
+        action="store_true",
+        default=os.environ.get("SPARK_GRAFT_BLOCK_CONTRACT", "") == "1",
+        help="carry the blocking key onto the match edges and "
+        "group-contract each block's matched subgraph in the CC init "
+        "(ERPipeline block_contract; also via "
+        "SPARK_GRAFT_BLOCK_CONTRACT=1)",
+    )
     ap.add_argument("--make-zip", default=None, metavar="PATH")
     args = ap.parse_args()
 
@@ -68,7 +77,8 @@ def main() -> None:
     spark = get_spark("er-pipeline")
     spark.sparkContext.setLogLevel("WARN")
     io = TableIO(spark, args.warehouse)
-    pipe = ERPipeline(spark, io, max_block=args.max_block)
+    pipe = ERPipeline(spark, io, max_block=args.max_block,
+                      block_contract=args.block_contract)
 
     t0 = time.time()
     if args.stage == "merge-delta":
