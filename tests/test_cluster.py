@@ -307,3 +307,44 @@ def test_cc_release_degrades_without_jvm_handle(monkeypatch, spark):
         for r in C.connected_components(edges).collect()
     }
     assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_hash_to_min_property_vs_union_find():
+    """Hypothesis property: on arbitrary edge multisets (self-loop-free,
+    sparse 64-bit ids, duplicates and both orientations allowed) the
+    pure-numpy kernel's (ids, roots) equals a plain union-find's
+    min-id-per-component labeling restricted to touched nodes. The
+    hand-picked kernel cases above pin shapes; this pins the CLAIM."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entity_knowledge_in_bert_spark.operators.cluster import _hash_to_min
+
+    # small id pool -> dense collisions/components; the pool is mapped
+    # through a sparse affine stretch so ids are non-contiguous int64
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=120))
+    def check(edges):
+        stretch = lambda x: x * 1_000_000_007 + 5  # noqa: E731
+        u = np.array([stretch(a) for a, _ in edges], dtype=np.int64)
+        v = np.array([stretch(b) for _, b in edges], dtype=np.int64)
+        ids, roots = _hash_to_min(u, v)
+        got = dict(zip(ids.tolist(), roots.tolist()))
+        # union-find oracle over the compacted id space
+        touched = sorted({x for e in edges for x in e})
+        index = {x: i for i, x in enumerate(touched)}
+        oracle = _union_find(
+            len(touched), [(index[a], index[b]) for a, b in edges]
+        )
+        want = {
+            stretch(x): stretch(touched[oracle[index[x]]]) for x in touched
+        }
+        assert got == want
+
+    check()
