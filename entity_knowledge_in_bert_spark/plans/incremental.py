@@ -61,10 +61,27 @@ class IncrementalER:
     discoverable at all.
     """
 
-    def __init__(self, spark: SparkSession, io: TableIO, max_block: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        io: TableIO,
+        max_block: int = 64,
+        block_contract: bool = False,
+    ):
+        """``block_contract`` mirrors ERPipeline's flag (same default,
+        and a base+delta warehouse must use the SAME setting on both
+        paths): carry the blocking key onto the delta's match edges so
+        stage_score stays schema-homogeneous across base + delta
+        snapshots (a chain read resolves ONE footer's schema — mixed
+        snapshots would silently drop or null the column). The delta
+        merge itself clusters the touched subgraph via merge_components
+        (no contraction needed at delta size); the carried key serves
+        the NEXT full-frontier consumer (e.g. a batch re-cluster over
+        the accumulated edges)."""
         self.spark = spark
         self.io = io
         self.max_block = max_block
+        self.block_contract = block_contract
         self.timings: dict[str, float] = {}
 
     def _frozen_idf(self) -> dict[str, float]:
@@ -271,7 +288,8 @@ class IncrementalER:
         all_m = self._live(self.io.read("stage_mention"))
         feat = pairs.attach_features(new_pairs, all_m)
         scored = scoring.score_pairs(feat, aliases)
-        edges = scoring.match_edges(scored)
+        keep = ("block_key",) if self.block_contract else ()
+        edges = scoring.match_edges(scored, keep=keep)
         self.io.write(edges, "stage_score", stage="score_delta", append=True,
                       tag=tag)
         self.timings["score"] = time.time() - t0

@@ -47,8 +47,14 @@ class ERPipeline:
         CC init (cluster.connected_components(contract_by=)) — the
         LS/SS loop then iterates over ~#(node, block) star edges
         instead of the full ~degree-dense match graph. Same cluster
-        table (equality-tested). Default off pending its own scaling
-        measurement (BASELINE.md r6 froze the measured build)."""
+        table (equality-tested). Default OFF pending a same-config
+        criterion pairing (the playbook rule: the shipped default
+        matches the measured criterion configuration — BASELINE.md r6
+        Phase H/I measured contraction-off; the Phase J contraction-on
+        pairing was attempted and aborted on a measured host-degradation
+        window, see BASELINE.md r6 Phase J). At the 400k probe the
+        option shrinks the CC loop input 11.3x and the cluster stage
+        27-30% with a row-identical cluster table."""
         self.spark = spark
         self.io = io
         self.max_block = max_block

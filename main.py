@@ -55,7 +55,7 @@ def main() -> None:
     ap.add_argument("--max-block", type=int, default=64)
     ap.add_argument(
         "--block-contract",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=os.environ.get("SPARK_GRAFT_BLOCK_CONTRACT", "") == "1",
         help="carry the blocking key onto the match edges and "
         "group-contract each block's matched subgraph in the CC init "

@@ -138,17 +138,21 @@ def test_bucketed_mentions_pipeline_identical(spark, pipeline_run, tmp_path_fact
     assert a == b
 
 
-def test_block_contract_pipeline_identical(spark, pipeline_run, tmp_path_factory):
+def test_block_contract_pipeline_identical(spark, tmp_path_factory):
     """block_contract carries the blocking key onto the edge table and
     group-contracts each block's matched subgraph in the CC init: the
-    full pipeline output must be row-identical to the default run, and
-    the stored edge table must actually carry the key (the contraction
-    is exercised, not skipped)."""
-    io, clusters = pipeline_run
+    full pipeline output must be row-identical to an EXPLICITLY
+    contract-off run (both sides pinned so the test stays discriminating
+    whatever the constructor default is), and the stored edge table must
+    actually carry the key (the contraction is exercised, not skipped)."""
+    pages = datagen.gen_pages_df(spark, N_PAGES)
+    wh_off = str(tmp_path_factory.mktemp("wh_bcontract_off"))
+    io_off = TableIO(spark, wh_off)
+    clusters = ERPipeline(spark, io_off, block_contract=False).run(pages)
+    assert "block_key" not in io_off.read("stage_score").columns
     wh = str(tmp_path_factory.mktemp("wh_bcontract"))
     io2 = TableIO(spark, wh)
     pipe = ERPipeline(spark, io2, block_contract=True)
-    pages = datagen.gen_pages_df(spark, N_PAGES)
     clusters2 = pipe.run(pages)
     assert "block_key" in io2.read("stage_score").columns
     a = {(r["mention_id"], r["cluster_id"]) for r in clusters.collect()}
