@@ -35,12 +35,23 @@ BUF_MB = 256
 WALL = 12.0
 
 
-def worker(q) -> None:
+def worker(q, barrier) -> None:
     n = BUF_MB * 1024 * 1024 // 8
     a = np.arange(n, dtype=np.uint64)
     b = np.empty_like(a)
     mult = np.uint64(0xFF51AFD7ED558CCD)
     shift = np.uint64(33)
+    # UNTIMED warmup iteration: the first pass demand-faults the buffers
+    # (and their `>>` temporaries) into existence, which on this sandbox
+    # can cost SECONDS per buffer when the hypervisor backs guest pages
+    # lazily (measured 2026-08-18: 7.7 s vs 0.07 s for the same 256 MB
+    # first-touch). Timing from a cold buffer measures page-backing, not
+    # steady-state bandwidth — warm up, sync all workers, then time.
+    np.copyto(b, a)
+    b ^= b >> shift
+    b *= mult
+    b ^= b >> shift
+    barrier.wait()
     t_end = time.time() + WALL
     iters = 0
     while time.time() < t_end:
@@ -54,7 +65,8 @@ def worker(q) -> None:
 
 def run_level(k: int) -> float:
     q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(q,)) for _ in range(k)]
+    barrier = mp.Barrier(k)
+    ps = [mp.Process(target=worker, args=(q, barrier)) for _ in range(k)]
     for p in ps:
         p.start()
     rates = [q.get() for _ in ps]
