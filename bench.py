@@ -46,10 +46,42 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+def _host_page_backing_probe() -> dict[str, float]:
+    """Measure the host's fresh-page backing rate vs steady state.
+
+    BASELINE.md r6 Phase K: after a VM reboot this sandbox's hypervisor
+    backed fresh guest pages at 0.01-0.03 GB/s (vs 3.8-9.6 GB/s once
+    backed), which inflates exactly the memory-growing stages of any
+    fresh JVM. Recording first-touch vs re-touch of one 256 MB buffer
+    in the bench output makes each BENCH_rN.json self-describing: a
+    ratio near 1 means the numbers were taken on a healthy box; a
+    ratio >> 1 flags the record (and especially its median/stage keys)
+    as page-backing-contaminated. Costs <0.2 s healthy, bounded by
+    ~25 s in the worst measured host state.
+    """
+    import numpy as np
+
+    n = 256 * 1024 * 1024
+    t0 = time.perf_counter()
+    buf = np.zeros(n, dtype=np.uint8)
+    buf[::4096] = 1  # touch every page
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    buf[::4096] = 2
+    retouch = time.perf_counter() - t0
+    return {
+        "host_first_touch_gb_per_sec": round(0.25 / max(first, 1e-9), 2),
+        "host_retouch_gb_per_sec": round(0.25 / max(retouch, 1e-9), 2),
+        "host_backing_slowdown": round(first / max(retouch, 1e-9), 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+    host_probe = _host_page_backing_probe()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -166,6 +198,7 @@ def main() -> None:
                 "er_stage_median_sec": stage_median,
                 "er_runs_sec": [r[0] for r in er_runs],
                 "cold_first_run_sec": cold,
+                **host_probe,
             }
         )
     )
