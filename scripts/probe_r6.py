@@ -27,6 +27,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scaling_bench import run_once  # noqa: E402
 
 
+def host_gate() -> dict:
+    """Pre-run host-health probe (BASELINE.md r6 Phase K protocol).
+
+    First-touch vs re-touch of one 256 MB buffer: slowdown near 1 =
+    healthy; >> 1 = the hypervisor is backing fresh guest pages slowly
+    and any fresh-JVM wall measured now is page-backing-contaminated.
+    The gate ANNOTATES rather than aborts (the record stays honest and
+    the operator decides), but a criterion pairing should only be read
+    when every run's gate shows slowdown < ~5.
+    """
+    import time
+
+    import numpy as np
+
+    n = 256 * 1024 * 1024
+    t0 = time.perf_counter()
+    buf = np.zeros(n, dtype=np.uint8)
+    buf[::4096] = 1
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    buf[::4096] = 2
+    retouch = time.perf_counter() - t0
+    return {
+        "host_first_touch_gb_per_sec": round(0.25 / max(first, 1e-9), 2),
+        "host_backing_slowdown": round(first / max(retouch, 1e-9), 1),
+    }
+
+
 def phase(name: str, cpus: int, n_pages: int, runs: int,
           driver_mem: str | None = None, timeout: int = 7200) -> list[dict]:
     if driver_mem is None:
@@ -35,6 +63,10 @@ def phase(name: str, cpus: int, n_pages: int, runs: int,
         os.environ["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
     out = []
     for i in range(runs):
+        gate = host_gate()
+        if gate["host_backing_slowdown"] > 5:
+            print(json.dumps({"phase": name, "run": i,
+                              "host_gate": "DIRTY", **gate}), flush=True)
         try:
             rec = run_once(cpus, n_pages, timeout)
         except Exception as e:  # keep the probe driver alive (r5 lesson)
@@ -42,7 +74,7 @@ def phase(name: str, cpus: int, n_pages: int, runs: int,
                               "error": str(e)[:500]}), flush=True)
             continue
         rec.update({"phase": name, "run": i, "cpus": cpus,
-                    "driver_mem": driver_mem or "default(48g)"})
+                    "driver_mem": driver_mem or "default(48g)", **gate})
         print(json.dumps(rec), flush=True)
         out.append(rec)
     if out:
