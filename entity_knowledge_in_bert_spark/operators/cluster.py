@@ -305,7 +305,12 @@ def connected_components(
     contracted set. Same fixpoint (star contraction is CC-preserving
     under ANY partitioning — equality-tested in
     test_cc_block_contract_equality). Ignored when the column is absent
-    or ``start_frontier`` is set.
+    or ``start_frontier`` is set. The column may be any
+    equality-comparable type; at extreme scale carry
+    ``xxhash64(block_key)`` instead of the raw string (8 bytes/edge
+    through score + this exchange) — a hash collision merely merges two
+    blocks' pre-pass groups, and the local contraction only follows
+    real edges, so collisions cost locality, never correctness.
     """
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
