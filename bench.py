@@ -130,7 +130,15 @@ def main() -> None:
     #   * er_spread itself is reported — a high value flags the record
     #     as host-noise-contaminated for round-over-round comparison.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "8"))
+    # On a lazy-backing host (Phase K) the first timed runs pay the
+    # page-fault tax until the JVM's arena stops growing — the 15:41 UTC
+    # reference record needed all 13 runs to settle. Raise the adaptive
+    # ceiling when the pre-Spark probe is dirty so the min-basis headline
+    # can still reach the settled band; healthy hosts are unaffected and
+    # er_extra_runs discloses whatever was used.
+    default_extra = "12" if host_probe["host_backing_slowdown"] > 20 else "8"
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA",
+                                   default_extra))
 
     def one_er_run() -> tuple[float, dict[str, float]]:
         t0 = time.time()
