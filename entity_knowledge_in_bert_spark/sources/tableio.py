@@ -368,6 +368,99 @@ class TableIO:
                 todo.extend(by_id.get(s, {}).get("includes", []))
         return self.spark.read.parquet(*paths)
 
+    def compact(
+        self, table: str, run_id: str | None = None, prune: bool = False
+    ) -> SnapshotInfo | None:
+        """Fold the head snapshot's append chain into ONE fresh snapshot
+        (the Iceberg ``rewrite_data_files`` maintenance shape).
+
+        The incremental path (plans/incremental.py) appends O(delta)
+        snapshots per merge, so at steady state a table's read is a
+        union over an ever-growing chain: more file footers per scan,
+        more manifest entries, smaller files. ``compact`` reads the
+        current live view and rewrites it as a single snapshot whose
+        chain length is 1 — a PHYSICAL rewrite only: every row
+        (including retraction tombstones, which are plan-level
+        semantics this layer does not interpret) survives verbatim, so
+        the operation is semantics-preserving by construction
+        (row-multiset-equality-tested in test_tableio).
+
+        Exactly-once interaction: snapshots folded into the compacted
+        head are no longer separable, so their ``tag`` labels are
+        recorded as ``folded_tags`` on the new entry and
+        :meth:`rollback_tag` HARD-FAILS for them — silently dropping
+        the old manifest entries while their rows live on in the
+        compacted head would duplicate rows on replay. Compact only
+        when no merge attempt may still need rollback (i.e. between
+        micro-batches, after ``mark_merge_complete``).
+
+        ``prune=True`` additionally drops the folded chain's manifest
+        entries (ending time travel to them) and deletes their
+        directories, keeping any snapshot still referenced by an
+        include chain OUTSIDE the folded one.
+
+        Returns the new head's SnapshotInfo, or None when the head has
+        no chain (nothing to fold). Not wired on the Iceberg catalog
+        backend — there the equivalent is the ``rewrite_data_files`` /
+        ``expire_snapshots`` Spark procedures.
+        """
+        if self.catalog:
+            raise NotImplementedError(
+                "compaction on the Iceberg backend is the "
+                "rewrite_data_files + expire_snapshots procedures (not "
+                "available in this sandbox)"
+            )
+        manifest = self._load_manifest(table)
+        head = self.latest_snapshot(table)
+        if head is None:
+            raise FileNotFoundError(f"table {table} has no complete snapshot")
+        by_id = {s["snapshot_id"]: s for s in manifest["snapshots"]}
+        chain, todo = [], [head]
+        while todo:
+            s = todo.pop()
+            chain.append(s)
+            todo.extend(by_id.get(s, {}).get("includes", []))
+        if len(chain) == 1:
+            return None
+        folded_tags = sorted(
+            {by_id[s]["tag"] for s in chain if by_id[s].get("tag")}
+        )
+        # read the live chain and rewrite it as one snapshot: the write
+        # targets a fresh snapshot dir, so inputs are never overwritten
+        info = self.write(
+            self.read(table),
+            table,
+            stage="compact",
+            run_id=run_id,
+            inputs=[head],
+            metrics={"snapshots_folded": len(chain)},
+        )
+        manifest = self._load_manifest(table)
+        for s in manifest["snapshots"]:
+            if s["snapshot_id"] == info.snapshot_id and folded_tags:
+                s["folded_tags"] = folded_tags
+        if prune:
+            import shutil
+
+            chain_set = set(chain)
+            refs: set = set()
+            for s in manifest["snapshots"]:
+                if s["snapshot_id"] not in chain_set:
+                    refs.update(s.get("includes", []))
+            removable = chain_set - refs
+            manifest["snapshots"] = [
+                s
+                for s in manifest["snapshots"]
+                if s["snapshot_id"] not in removable
+            ]
+            for sid in removable:
+                shutil.rmtree(
+                    os.path.join(self.warehouse, table, sid),
+                    ignore_errors=True,
+                )
+        self._save_manifest(table, manifest)
+        return info
+
     def read_lineage(self) -> DataFrame:
         # mergeSchema: lineage columns accrete over engine versions (the
         # `metrics` map landed in r6) — a long-lived warehouse holds rows
@@ -487,6 +580,20 @@ class TableIO:
         dropped = 0
         if not os.path.isdir(self.warehouse):
             return 0
+        for t in os.listdir(self.warehouse):
+            if not os.path.exists(self._manifest_path(t)):
+                continue
+            for s in self._load_manifest(t)["snapshots"]:
+                if tag in (s.get("folded_tags") or []):
+                    raise RuntimeError(
+                        f"tag {tag!r} was folded into compacted snapshot "
+                        f"{s['snapshot_id']!r} of table {t!r}: its rows are "
+                        "no longer separable, so rolling the tag back would "
+                        "drop manifest entries while the rows live on — a "
+                        "replay would then append duplicates. Roll back "
+                        "BEFORE compacting, or restore the table from a "
+                        "pre-compaction snapshot id."
+                    )
         for t in os.listdir(self.warehouse):
             mp = self._manifest_path(t)
             if not os.path.exists(mp):

@@ -355,3 +355,85 @@ def test_read_lineage_merges_pre_metrics_schema(spark, io):
             for r in lin.select("stage", "metrics").collect()}
     assert rows["old_gen"] is None
     assert rows["new_gen"] is not None
+
+
+def test_compact_folds_chain_row_identical(spark, io):
+    """compact() folds a 3-snapshot append chain into one snapshot whose
+    read is row-multiset-identical, whose head has no includes chain,
+    and whose lineage records the fold."""
+    io.write(spark.range(10), "tc", stage="s1")
+    io.write(spark.range(10, 15), "tc", stage="s1", append=True)
+    io.write(spark.range(15, 18), "tc", stage="s1", append=True)
+    before = sorted(r["id"] for r in io.read("tc").collect())
+    info = io.compact("tc")
+    assert info is not None and info.rows == 18
+    after = sorted(r["id"] for r in io.read("tc").collect())
+    assert before == after
+    head = io.snapshot_entry("tc")
+    assert head["snapshot_id"] == info.snapshot_id
+    assert "includes" not in head
+    lin = io.read_lineage().filter(F.col("stage") == "compact")
+    assert lin.count() >= 1
+    # old snapshots stay time-travelable by default (no prune)
+    assert io.read("tc", snapshot_id=info.inputs[0]).count() == 18
+
+
+def test_compact_noop_without_chain(spark, io):
+    io.write(spark.range(5), "tc2", stage="s1")
+    assert io.compact("tc2") is None
+
+
+def test_compact_records_folded_tags_and_blocks_rollback(spark, io):
+    """A tag folded into a compacted snapshot can no longer be rolled
+    back — rollback_tag must hard-fail instead of silently dropping
+    manifest entries whose rows live on in the compacted head."""
+    io.write(spark.range(10), "tc3", stage="s1")
+    io.write(spark.range(10, 12), "tc3", stage="s1", append=True, tag="b7")
+    io.compact("tc3")
+    assert "b7" in io.snapshot_entry("tc3").get("folded_tags", [])
+    with pytest.raises(RuntimeError, match="folded into compacted"):
+        io.rollback_tag("b7")
+    with pytest.raises(RuntimeError, match="folded into compacted"):
+        io.try_rollback_tag("b7")
+    # untouched tags still roll back fine
+    io.write(spark.range(3), "tc3b", stage="s1", tag="b8")
+    assert io.rollback_tag("b8") == 1
+
+
+def test_compact_prune_drops_folded_entries(spark, io, tmp_path):
+    import os
+
+    io.write(spark.range(10), "tc4", stage="s1")
+    first = io.latest_snapshot("tc4")
+    io.write(spark.range(10, 15), "tc4", stage="s1", append=True)
+    info = io.compact("tc4", prune=True)
+    assert sorted(r["id"] for r in io.read("tc4").collect()) == list(range(15))
+    ids = {s["snapshot_id"] for s in io._load_manifest("tc4")["snapshots"]}
+    assert ids == {info.snapshot_id}
+    assert not os.path.exists(os.path.join(io.warehouse, "tc4", first))
+
+
+def test_compact_after_incremental_merge_preserves_clusters(spark, tmp_path):
+    """End-to-end: base pipeline + delta merge, then compact the append
+    chains — the cluster table re-read from the compacted warehouse is
+    identical (tombstones and all plan-level rows survive verbatim)."""
+    from entity_knowledge_in_bert_spark import datagen
+    from entity_knowledge_in_bert_spark.plans.incremental import IncrementalER
+    from entity_knowledge_in_bert_spark.plans.pipeline import ERPipeline
+
+    wh = str(tmp_path / "wh_compact_e2e")
+    io2 = TableIO(spark, wh)
+    ERPipeline(spark, io2).run(datagen.gen_pages_df(spark, 120))
+    inc = IncrementalER(spark, io2)
+    inc.merge(datagen.gen_pages_df(spark, 40, start=120))
+    before = {
+        (r["mention_id"], r["cluster_id"])
+        for r in io2.read("stage_cluster").collect()
+    }
+    for t in ("stage_mention", "stage_score", "stage_cluster"):
+        io2.compact(t)
+    after = {
+        (r["mention_id"], r["cluster_id"])
+        for r in io2.read("stage_cluster").collect()
+    }
+    assert before == after
