@@ -1864,6 +1864,39 @@ def er_retract_clusters(spark, sf_dir):
     return merged.select("mention_id", "cluster_id")
 
 
+@q("er_compacted_clusters", _cc_closure_sql("compact_cc"))
+def er_compacted_clusters(spark, sf_dir):
+    """VALUE-checked driver surface for snapshot-chain COMPACTION
+    (sources/tableio.py compact, r6): batch-build 2/3 of the corpus,
+    fold the last 1/3 in incrementally (growing each stage table's
+    append chain), then compact every stage table and serve the cluster
+    table RE-READ through the compacted warehouse. The closure oracle
+    runs over the POST-compact edge + mention exports, so the whole
+    read path — single-snapshot manifest resolution included — must
+    reproduce the shipped table exactly; a compaction that dropped,
+    duplicated, or reordered rows into different clusters hash-fails."""
+    import tempfile
+
+    from .. import datagen
+    from ..sources.tableio import TableIO
+    from .incremental import IncrementalER
+    from .pipeline import ERPipeline
+
+    n = _er_scale(sf_dir)
+    n_base = (2 * n) // 3
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_compact_q_"))
+    ERPipeline(spark, io).run(datagen.gen_pages_df(spark, n_base))
+    IncrementalER(spark, io).merge(
+        datagen.gen_pages_df(spark, n - n_base, start=n_base)
+    )
+    for t in ("stage_mention", "stage_score", "stage_cluster"):
+        io.compact(t)
+    _export_cc_oracle(
+        "compact_cc", io.read("stage_score"), io.read("stage_mention")
+    )
+    return io.read("stage_cluster").select("mention_id", "cluster_id")
+
+
 @q("er_block_size_histogram", None)
 def er_block_size_histogram(spark, sf_dir):
     """J5/A7 audit — PRE-cap block-size histogram with the oversized-key

@@ -43,7 +43,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["all", "extract", "mention", "block", "pairs",
-                             "score", "cluster", "merge-delta"])
+                             "score", "cluster", "merge-delta", "compact"])
     ap.add_argument("--delta-start", type=int, default=None,
                     help="with --stage merge-delta: first page id of the "
                          "delta (pages [start, start+n_pages) are folded "
@@ -81,6 +81,25 @@ def main() -> None:
                       block_contract=args.block_contract)
 
     t0 = time.time()
+    if args.stage == "compact":
+        # steady-state maintenance: fold every stage table's append chain
+        # (grown by merge-delta runs) into one snapshot each — run it
+        # between merge cadences, never while a crashed merge may still
+        # need its tag rolled back (TableIO.compact docstring).
+        folded = {}
+        for t in ("stage_extract", "stage_mention", "stage_block",
+                  "stage_pairs", "stage_score", "stage_cluster"):
+            if io.exists(t):
+                info = io.compact(t)
+                folded[t] = info.rows if info is not None else "no-chain"
+        print(json.dumps({
+            "stage": "compact",
+            "tables": folded,
+            "wall_sec": round(time.time() - t0, 2),
+            "warehouse": args.warehouse,
+        }))
+        spark.stop()
+        return
     if args.stage == "merge-delta":
         from entity_knowledge_in_bert_spark.plans.incremental import (
             IncrementalER,
