@@ -30,12 +30,14 @@ from scaling_bench import run_once  # noqa: E402
 def host_gate() -> dict:
     """Pre-run host-health probe (BASELINE.md r6 Phase K protocol).
 
-    First-touch vs re-touch of one 256 MB buffer: slowdown near 1 =
-    healthy; >> 1 = the hypervisor is backing fresh guest pages slowly
-    and any fresh-JVM wall measured now is page-backing-contaminated.
-    The gate ANNOTATES rather than aborts (the record stays honest and
-    the operator decides), but a criterion pairing should only be read
-    when every run's gate shows slowdown < ~5.
+    The dirty criterion is the ABSOLUTE first-touch rate, not the
+    first/re-touch ratio: a sparse per-page re-touch is nearly free, so
+    even a healthy host shows a ratio of ~10-15x (fault+zero vs cached
+    write) — but healthy first-touch measures 3.4-3.8 GB/s on this box
+    while the degraded windows measured 0.01-0.7 GB/s. The gate
+    ANNOTATES rather than aborts (the record stays honest and the
+    operator decides), but a criterion pairing should only be read when
+    every run's gate shows first-touch >= ~1 GB/s.
     """
     import time
 
@@ -64,7 +66,7 @@ def phase(name: str, cpus: int, n_pages: int, runs: int,
     out = []
     for i in range(runs):
         gate = host_gate()
-        if gate["host_backing_slowdown"] > 5:
+        if gate["host_first_touch_gb_per_sec"] < 1.0:
             print(json.dumps({"phase": name, "run": i,
                               "host_gate": "DIRTY", **gate}), flush=True)
         try:
