@@ -150,3 +150,39 @@ def test_stream_recrawl_batch(spark, tmp_path_factory):
     tomb_s = {r["mention_id"] for r in io_s.read("retracted_mentions").collect()}
     tomb_m = {r["mention_id"] for r in io_m.read("retracted_mentions").collect()}
     assert tomb_s and tomb_s == tomb_m
+
+
+def test_compaction_composes_with_replay_protocol(spark, tmp_path_factory):
+    """TableIO.compact between micro-batches composes with exactly-once
+    (r6): a replay of a COMPLETED batch is still skipped by the
+    protocol's merge_complete check — compaction never reaches the
+    rollback path — while a crashed UNCOMMITTED tag folded by a
+    premature compact makes the replay hard-fail loudly instead of
+    silently appending duplicates."""
+    wh = str(tmp_path_factory.mktemp("wh_compact_stream"))
+    io = TableIO(spark, wh)
+    ERPipeline(spark, io).run(datagen.gen_pages_df(spark, 120))
+    d1 = datagen.gen_pages_df(spark, 40, start=120)
+    tag = "stream-ck-batch-0"
+    IncrementalER(spark, io).merge(d1, tag=tag)
+    io.mark_merge_complete(tag)
+    for t in ("stage_mention", "stage_score", "stage_cluster"):
+        io.compact(t)
+    before = _cluster_set(io.read("stage_cluster"))
+    # replay of the completed batch: fold() returns before any rollback
+    assert io.merge_complete(tag)
+    assert _cluster_set(io.read("stage_cluster")) == before
+
+    # crashed attempt whose partial append gets folded by a premature
+    # compact: the replay's rollback step must refuse, not duplicate
+    tag2 = "stream-ck-batch-1"
+    partial = d1.limit(5).select(
+        "url", "warc_ts", F.expr("cast(null as string)").alias("text"),
+        "lang",
+    )
+    io.write(partial, "stage_extract", stage="extract_delta", append=True,
+             tag=tag2)
+    io.compact("stage_extract")
+    assert not io.merge_complete(tag2)
+    with pytest.raises(RuntimeError, match="folded into compacted"):
+        io.try_rollback_tag(tag2)
