@@ -437,3 +437,12 @@ def test_compact_after_incremental_merge_preserves_clusters(spark, tmp_path):
         for r in io2.read("stage_cluster").collect()
     }
     assert before == after
+
+
+def test_iceberg_compact_not_implemented(tmp_path):
+    """On the catalog backend compaction is the rewrite_data_files /
+    expire_snapshots procedures — the parquet-manifest fold must refuse
+    rather than corrupt Iceberg-tracked snapshot metadata."""
+    io2 = TableIO(_IcebergSpark(), str(tmp_path / "iwh_c"), catalog="ice")
+    with pytest.raises(NotImplementedError):
+        io2.compact("t")
