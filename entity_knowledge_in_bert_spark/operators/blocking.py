@@ -155,16 +155,24 @@ def sized_block_keys(
     salts: DataFrame | None = None,
 ) -> DataFrame:
     """PRE-cap (mention_id, block_key, _bsize), distinct. Dedup + size
-    in one shuffle: window count over the same partitioning the distinct
-    uses (a groupBy+join here costs a second shuffle of the full key
-    set)."""
+    in ONE exchange (r7, guide §2.4): hash-partitioning on block_key
+    alone satisfies BOTH the dropDuplicates distribution (a subset of
+    the dedup keys clusters them) and the count-over window's, so
+    Catalyst plans repartition -> dedup -> window with a single
+    Exchange. The previous distinct().withColumn(window) planned two:
+    one keyed (mention_id, block_key) for the distinct, then a second
+    on block_key for the window — a full extra shuffle of the key set."""
     from pyspark.sql import Window
 
     keys = entity_salted_keys(candidates, max_block, salts=salts)
     if use_lsh:
         keys = keys.unionByName(lsh_band_keys(mentions))
     w = Window.partitionBy("block_key")
-    return keys.distinct().withColumn("_bsize", F.count("*").over(w))
+    return (
+        keys.repartition("block_key")
+        .dropDuplicates()
+        .withColumn("_bsize", F.count("*").over(w))
+    )
 
 
 def block_keys(

@@ -218,6 +218,53 @@ def _contract_partitions(canon: DataFrame) -> DataFrame:
     return canon.mapInPandas(contract, schema="u long, v long")
 
 
+# Scale-adaptive CC cutover (r7, guide §1.2/§2): an edge set the caller
+# KNOWS (from the snapshot manifest — no count job) to be small enough
+# for one task's memory is solved exactly in ONE narrow pass with the
+# vectorized `_hash_to_min` kernel — no LS/SS loop, no per-iteration
+# shuffles/checkpoints/signature actions. 4M canonical edges is ~64 MB
+# of id arrays plus the kernel's uniques/inverse bookkeeping (~3x) —
+# comfortably inside a single task at any sane executor sizing. Above
+# the threshold (every realistic production frontier) the distributed
+# LS/SS loop runs unchanged; equality of the two paths is test-gated
+# (test_cc_local_solve_equality). Overridable for experiments via
+# SPARK_GRAFT_LOCAL_CC_EDGES.
+LOCAL_CC_MAX_EDGES = 4_000_000
+
+
+def _solve_local(edges: DataFrame) -> DataFrame:
+    """Exact single-task CC: coalesce(1) (narrow — no exchange) feeds
+    every canonical edge to one `_hash_to_min` call; emits the same
+    (mention_id, cluster_id) table the LS/SS fixpoint produces (min id
+    per component, every edge-incident node present, self-loops
+    dropped)."""
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["src"].to_numpy(dtype=np.int64))
+            vs.append(pdf["dst"].to_numpy(dtype=np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        if not len(u):
+            return
+        ids, roots = _hash_to_min(u, v)
+        yield pd.DataFrame({"mention_id": ids, "cluster_id": roots})
+
+    return (
+        edges.select("src", "dst")
+        .coalesce(1)
+        .mapInPandas(solve, schema="mention_id long, cluster_id long")
+    )
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -312,6 +359,26 @@ def connected_components(
     blocks' pre-pass groups, and the local contraction only follows
     real edges, so collisions cost locality, never correctness.
     """
+    # scale-adaptive cutover (guide §1.2: pick the algorithm from the
+    # input size): a manifest-sized edge set below LOCAL_CC_MAX_EDGES is
+    # solved exactly in one narrow task — the LS/SS loop's per-iteration
+    # exchanges, checkpoints and signature actions are pure overhead at
+    # that size. Only on the fresh-edges path with no per-iteration
+    # observer: durable iterations and frontier resumes are loop
+    # contracts.
+    import os as _os
+
+    local_max = int(
+        _os.environ.get("SPARK_GRAFT_LOCAL_CC_EDGES", LOCAL_CC_MAX_EDGES)
+    )
+    if (
+        start_frontier is None
+        and on_iteration is None
+        and n_edges is not None
+        and 0 <= n_edges <= local_max
+    ):
+        return _solve_local(edges)
+
     # the edge frontier is orders of magnitude smaller than the corpus:
     # right-size its partitioning so each LS/SS iteration schedules a
     # handful of tasks instead of a full shuffle width — but scale with

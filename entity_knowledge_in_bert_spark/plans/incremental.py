@@ -158,6 +158,12 @@ class IncrementalER:
         idf_bc = self.spark.sparkContext.broadcast(self._frozen_idf())
         embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
+        # same projection as the batch write (pipeline.MENTION_TABLE_COLS):
+        # context columns are consumed by the encoder above and must not
+        # land in the append chain (schema homogeneity + write bytes)
+        from .pipeline import MENTION_TABLE_COLS
+
+        m = m.select(*MENTION_TABLE_COLS)
         retracts = None
         resurrected = None
         if n_recrawled:

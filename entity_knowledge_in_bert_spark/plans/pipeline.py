@@ -23,6 +23,12 @@ from ..sources.tableio import TableIO
 
 STAGES = ["extract", "mention", "block", "pairs", "score", "cluster"]
 
+# persisted stage_mention schema (batch AND delta writes — a chain read
+# resolves one footer's schema, so both paths must project identically):
+# everything downstream consumers touch, and nothing they don't. The
+# context columns exist only between detect_mentions and the encoder UDF.
+MENTION_TABLE_COLS = ["mention_id", "url", "begin", "end", "surface", "vec"]
+
 
 class ERPipeline:
     def __init__(
@@ -80,6 +86,14 @@ class ERPipeline:
         idf_bc = self.spark.sparkContext.broadcast(idf)
         embed = encoder.make_encoder_udf(idf_bc)
         m = m.withColumn("vec", embed(F.col("ctx_left"), F.col("ctx_right")))
+        # project the context columns OUT of the persisted table (r7,
+        # guide §2.3/§6): ctx/ctx_left/ctx_right are consumed entirely
+        # pre-write (the encoder UDF above); no downstream stage or
+        # export reads them, so writing ~320 chars/row of context was
+        # pure write+scan bytes. MENTION_TABLE_COLS is shared with the
+        # incremental delta write so base+delta chains stay
+        # schema-homogeneous.
+        m = m.select(*MENTION_TABLE_COLS)
         bucket = (
             (["mention_id"], self.bucket_mentions)
             if self.bucket_mentions

@@ -348,3 +348,55 @@ def test_hash_to_min_property_vs_union_find():
         assert got == want
 
     check()
+
+
+def test_cc_local_solve_equality(spark):
+    """r7 scale-adaptive cutover: a manifest-sized edge set below
+    LOCAL_CC_MAX_EDGES is solved in one narrow `_hash_to_min` task
+    (n_edges threads the size in); the result must be ROW-IDENTICAL to
+    the distributed LS/SS fixpoint — including self-loop handling and
+    min-id canonicalization — on random, chain, and cliquey graphs."""
+    rng = random.Random(11)
+    n = 400
+    rand_edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    chain_edges = [(i, i + 1) for i in range(250)] + [(7, 7)]
+    clique_edges = [
+        (b * 40 + i, b * 40 + j)
+        for b in range(5)
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
+    for edges in (rand_edges, chain_edges, clique_edges):
+        df = spark.createDataFrame(
+            [(int(u), int(v), 1.0) for u, v in edges],
+            "src long, dst long, score double",
+        ).repartition(8)
+        local = {
+            r["mention_id"]: r["cluster_id"]
+            for r in connected_components(df, n_edges=len(edges)).collect()
+        }
+        loop = {
+            r["mention_id"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        assert local == loop
+
+
+def test_cc_local_solve_respects_threshold(spark, monkeypatch):
+    """Above the threshold the loop path must run (the local path would
+    be a single-task scale hazard): force the threshold to 0 and assert
+    the result still matches — i.e. n_edges > threshold falls through
+    to LS/SS."""
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_CC_EDGES", "0")
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in edges],
+        "src long, dst long, score double",
+    )
+    got = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, n_edges=len(edges)).collect()
+    }
+    oracle = _union_find(31, edges)
+    for node in range(31):
+        assert got[node] == oracle[node]
