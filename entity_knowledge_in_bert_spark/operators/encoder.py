@@ -348,11 +348,23 @@ def compute_idf(
             df_tok.filter((F.col("df") >= min_df) & (F.col("df") <= stop_floor))
             .orderBy(F.desc("df"), F.asc("tok"))  # deterministic truncation
             .limit(max_vocab)
+            .withColumn("_stop", F.lit(False))
         )
-        stop = df_tok.filter(F.col("df") > stop_floor)
-        out = {r["tok"]: 0.0 for r in stop.collect()}  # stopword: dropped
-        for r in signal.collect():
-            out[r["tok"]] = float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+        stop = df_tok.filter(F.col("df") > stop_floor).withColumn(
+            "_stop", F.lit(True)
+        )
+        # ONE driver action for both slices (r7): stop ∪ signal collected
+        # together — the cached token aggregation feeds both branches, and
+        # the former two collect jobs were pure scheduling overhead.
+        # Same dict as before: stopwords 0.0, signal idf (disjoint by the
+        # stop_floor split, so merge order is immaterial).
+        out: dict[str, float] = {}
+        for r in stop.unionByName(signal).collect():
+            out[r["tok"]] = (
+                0.0
+                if r["_stop"]
+                else float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+            )
     finally:
         df_tok.unpersist()
     return out

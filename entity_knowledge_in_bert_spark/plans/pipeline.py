@@ -106,8 +106,18 @@ class ERPipeline:
         # the BASE corpus's IDF or their vectors drift vs stored ones
         # (plans/incremental.py reads this back). Bounded table —
         # compute_idf caps the vocabulary.
+        # driver-local bounded table: ONE slice -> ONE output file (r7,
+        # guide §6 — the default-parallelism createDataFrame wrote 32
+        # near-empty files per run, each costing a write task + a footer
+        # read). parallelize(..., 1), NOT coalesce(1): coalescing a
+        # 32-slice local relation measured 6.2 s/write vs 0.46 s for a
+        # single-slice parallelize (the one merged task re-walks every
+        # pickled slice).
         idf_df = self.spark.createDataFrame(
-            list(idf.items()) or [("", 0.0)], "tok string, idf double"
+            self.spark.sparkContext.parallelize(
+                list(idf.items()) or [("", 0.0)], 1
+            ),
+            "tok string, idf double",
         )
         self.io.write(idf_df, "model_idf", stage="model_idf")
 
