@@ -101,6 +101,7 @@ class TableIO:
         bucket_by: tuple[list[str], int] | None = None,
         tag: str | None = None,
         metrics=None,
+        entry_extra: dict | None = None,
     ) -> SnapshotInfo:
         """Write df as a NEW snapshot of `table` (create-or-replace
         semantics on read: latest snapshot wins). Appends per-partition
@@ -236,6 +237,12 @@ class TableIO:
         }
         if tag is not None:
             entry["tag"] = tag
+        if entry_extra:
+            # caller-supplied manifest fields (e.g. compact's folded_tags)
+            # land in the SAME atomic manifest commit that publishes the
+            # snapshot — a second save would leave a crash window where
+            # the head exists without its bookkeeping (ADVICE r6)
+            entry.update(entry_extra)
         if prior is not None and not self.catalog:
             # parquet backend: record the append chain; Iceberg tracks
             # this in its own snapshot metadata.
@@ -422,11 +429,24 @@ class TableIO:
             todo.extend(by_id.get(s, {}).get("includes", []))
         if len(chain) == 1:
             return None
-        folded_tags = sorted(
-            {by_id[s]["tag"] for s in chain if by_id[s].get("tag")}
-        )
+        # the guard set must UNION prior compacted entries' folded_tags
+        # (ADVICE r6): a second compact folds the first compacted head —
+        # dropping ITS folded_tags would let a later rollback_tag silently
+        # drop a tagged entry whose rows live on in the newest head (the
+        # exactly-once violation the guard exists to prevent). With the
+        # union, the tags are re-homed onto every successive head, so
+        # pruning the older carriers is safe.
+        folded: set = set()
+        for s in chain:
+            if by_id[s].get("tag"):
+                folded.add(by_id[s]["tag"])
+            folded.update(by_id[s].get("folded_tags") or [])
+        folded_tags = sorted(folded)
         # read the live chain and rewrite it as one snapshot: the write
-        # targets a fresh snapshot dir, so inputs are never overwritten
+        # targets a fresh snapshot dir, so inputs are never overwritten.
+        # folded_tags ride the SAME manifest commit that publishes the
+        # head (entry_extra) — no second save, no crash window between
+        # "head exists" and "guard recorded" (ADVICE r6).
         info = self.write(
             self.read(table),
             table,
@@ -434,11 +454,11 @@ class TableIO:
             run_id=run_id,
             inputs=[head],
             metrics={"snapshots_folded": len(chain)},
+            entry_extra=(
+                {"folded_tags": folded_tags} if folded_tags else None
+            ),
         )
         manifest = self._load_manifest(table)
-        for s in manifest["snapshots"]:
-            if s["snapshot_id"] == info.snapshot_id and folded_tags:
-                s["folded_tags"] = folded_tags
         if prune:
             import shutil
 
@@ -453,12 +473,12 @@ class TableIO:
                 for s in manifest["snapshots"]
                 if s["snapshot_id"] not in removable
             ]
+            self._save_manifest(table, manifest)
             for sid in removable:
                 shutil.rmtree(
                     os.path.join(self.warehouse, table, sid),
                     ignore_errors=True,
                 )
-        self._save_manifest(table, manifest)
         return info
 
     def read_lineage(self) -> DataFrame:

@@ -87,8 +87,12 @@ def main() -> None:
         # between merge cadences, never while a crashed merge may still
         # need its tag rolled back (TableIO.compact docstring).
         folded = {}
+        # retracted_mentions grows an append chain on every re-crawl
+        # merge too (stage retract_delta) — without compaction its
+        # footer fan-out grows unboundedly at steady state (ADVICE r6)
         for t in ("stage_extract", "stage_mention", "stage_block",
-                  "stage_pairs", "stage_score", "stage_cluster"):
+                  "stage_pairs", "stage_score", "stage_cluster",
+                  "retracted_mentions"):
             if io.exists(t):
                 info = io.compact(t)
                 folded[t] = info.rows if info is not None else "no-chain"
@@ -107,7 +111,12 @@ def main() -> None:
 
         start = args.delta_start if args.delta_start is not None else args.n_pages
         delta = datagen.gen_pages_df(spark, args.n_pages, start=start)
-        inc = IncrementalER(spark, io, max_block=args.max_block)
+        # forward block_contract (ADVICE r6): a base built with the flag
+        # carries block_key on stage_score; a delta merge constructed
+        # without it would append schema-heterogeneous snapshots whose
+        # chain reads silently drop/null the column
+        inc = IncrementalER(spark, io, max_block=args.max_block,
+                            block_contract=args.block_contract)
         out = inc.merge(delta)
         pipe = inc  # stage_sec reporting below reads .timings
     elif args.stage == "all":
