@@ -329,42 +329,61 @@ def compute_idf(
     sampled = texts_df.filter(
         F.pmod(F.xxhash64(F.col(text_col)), F.lit(sample_mod)) == 0
     )
-    n_docs = sampled.count()
-    if n_docs < 100:  # tiny corpora: use everything, keep hapax IDF signal
-        sampled = texts_df
-        n_docs = texts_df.count()
-        min_df = 1
-    df_tok = (
-        sampled.select(
-            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-        .persist()  # stopword + signal actions share ONE token aggregation
-    )
-    try:
-        stop_floor = STOPWORD_DF_FRACTION * n_docs
+
+    def _slices(base, n_docs_col, min_df_val):
+        """stop ∪ signal rows over the cached token aggregation, with the
+        doc count carried as a column so the floor is an expression, not
+        a prior driver action."""
+        stop_floor = STOPWORD_DF_FRACTION * n_docs_col
         signal = (
-            df_tok.filter((F.col("df") >= min_df) & (F.col("df") <= stop_floor))
+            base.filter((F.col("df") >= min_df_val) & (F.col("df") <= stop_floor))
             .orderBy(F.desc("df"), F.asc("tok"))  # deterministic truncation
             .limit(max_vocab)
             .withColumn("_stop", F.lit(False))
         )
-        stop = df_tok.filter(F.col("df") > stop_floor).withColumn(
+        stop = base.filter(F.col("df") > stop_floor).withColumn(
             "_stop", F.lit(True)
         )
-        # ONE driver action for both slices (r7): stop ∪ signal collected
-        # together — the cached token aggregation feeds both branches, and
-        # the former two collect jobs were pure scheduling overhead.
-        # Same dict as before: stopwords 0.0, signal idf (disjoint by the
-        # stop_floor split, so merge order is immaterial).
-        out: dict[str, float] = {}
-        for r in stop.unionByName(signal).collect():
-            out[r["tok"]] = (
-                0.0
-                if r["_stop"]
-                else float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+        return stop.unionByName(signal)
+
+    def _collect(src, min_df_val):
+        # ONE driver action total (r7, guide §1.2): the former
+        # sampled.count() was a full second scan+hash of the text column
+        # just to build the stop floor; instead the 1-row doc count is
+        # broadcast-cross-joined onto the cached token aggregation so the
+        # floor/limit are plan expressions and the count rides the same
+        # job. stop/signal share the aggregation via persist exactly as
+        # before; same dict (disjoint slices, same formulas).
+        stats = src.agg(F.count("*").alias("_n"))
+        df_tok = (
+            src.select(
+                F.explode(
+                    F.array_distinct(F.split(F.col(text_col), " "))
+                ).alias("tok")
             )
-    finally:
-        df_tok.unpersist()
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .persist()
+        )
+        try:
+            both = df_tok.crossJoin(F.broadcast(stats))
+            return _slices(both, F.col("_n"), min_df_val).collect()
+        finally:
+            df_tok.unpersist()
+
+    rows = _collect(sampled, min_df)
+    # every row carries the doc count via the cross join; an EMPTY result
+    # (all-hapax corpus, or nothing sampled) hides it — only then pay the
+    # explicit count the old two-action path always paid
+    n_docs = int(rows[0]["_n"]) if rows else sampled.count()
+    if n_docs < 100:  # tiny corpora: use everything, keep hapax IDF signal
+        rows = _collect(texts_df, 1)
+        n_docs = int(rows[0]["_n"]) if rows else texts_df.count()
+    out: dict[str, float] = {}
+    for r in rows:
+        out[r["tok"]] = (
+            0.0
+            if r["_stop"]
+            else float(np.log((n_docs + 1) / (r["df"] + 1)) + 1.0)
+        )
     return out

@@ -67,30 +67,66 @@ def detect_mentions(
 
     One output row per (url, span) even when the alias is ambiguous —
     entity candidates are attached later by the candidate join (J2).
-    """
-    toks = tokens_with_offsets(pages)
-    w = Window.partitionBy("url").orderBy("pos")
-    grams = toks
-    for k in range(1, max_alias_tokens):
-        grams = grams.withColumn(f"_lead{k}", F.lead("tok", k).over(w))
 
-    # ONE pass: all n-gram candidates come out of a single explode over
-    # the lead columns (a 3-way union here would recompute the window
-    # shuffle once per n — measured 2.1x scaling loss at 100k pages)
-    gram_structs = [F.col("tok").alias("surface")]
-    for n in range(2, max_alias_tokens + 1):
-        parts = [F.col("tok")] + [F.col(f"_lead{k}") for k in range(1, n)]
-        gram_structs.append(
-            F.when(
-                F.col(f"_lead{n - 1}").isNotNull(), F.concat_ws(" ", *parts)
-            ).alias(f"surface{n}")
+    SHUFFLE-FREE (r7, guide §2.4): token char offsets come from the space
+    positions of the text itself (one linear ``filter(sequence(...))``
+    scan per row — identical values to the former per-url window cumsum,
+    equality-tested in test_pairs.py/test_blocking fixtures and pinned by
+    the e2/er oracles), n-grams from ``element_at`` over the token array
+    instead of ``lead()`` windows, and the context substrings read the
+    row's own ``text`` instead of joining the mention set back to pages
+    on url. The former plan paid TWO exchanges of corpus-order data
+    (token window sort + ctx join-back); this one has none — only the
+    alias broadcast join. Input contract (unchanged — the old window
+    interleaved tokens of duplicate urls into garbage offsets): one row
+    per url, i.e. run ``latest_snapshot`` first, as every caller does.
+
+    Transient cost: ``sequence(1, length(text))`` materializes a 4-byte
+    int per character per row inside codegen (4x text bytes, freed per
+    row) — bounded and local, vs. a full shuffle of the token stream.
+    """
+    # candidate structs built array-side, then ONE explode: per token i,
+    # up to max_alias_tokens (begin, surface) structs; shorter-than-n
+    # tails yield NULL surfaces that the filter drops (the old
+    # array_compact over when(lead IS NOT NULL) did the same).
+    structs = []
+    for n in range(1, max_alias_tokens + 1):
+        parts = ["t"] + [f"element_at(_toks, i + {k + 1})" for k in range(1, n)]
+        surface = f"concat_ws(' ', {', '.join(parts)})"
+        if n > 1:
+            surface = (
+                f"IF(i + {n - 1} < size(_toks), {surface}, "
+                "CAST(NULL AS STRING))"
+            )
+        structs.append(
+            "named_struct('begin', IF(i = 0, 0, element_at(_spaces, i)), "
+            f"'surface', {surface})"
         )
-    candidates = grams.select(
-        "url",
-        F.col("offset").alias("begin"),
-        F.explode(
-            F.array_compact(F.array(*gram_structs))
-        ).alias("surface"),
+    cand_expr = (
+        "filter(flatten(transform(_toks, (t, i) -> array("
+        + ", ".join(structs)
+        + "))), c -> c.surface IS NOT NULL)"
+    )
+
+    candidates = (
+        pages.select(
+            "url",
+            "text",
+            F.split(F.col("text"), " ").alias("_toks"),
+            # 1-based char positions of every ' ': token i (0-based)
+            # begins at element_at(_spaces, i) == cumsum(len(tok)+1)
+            F.expr(
+                "filter(sequence(1, length(text)), "
+                "p -> substring(text, p, 1) = ' ')"
+            ).alias("_spaces"),
+        )
+        .select("url", "text", F.explode(F.expr(cand_expr)).alias("_c"))
+        .select(
+            "url",
+            "text",
+            F.col("_c.begin").alias("begin"),
+            F.col("_c.surface").alias("surface"),
+        )
     )
 
     surfaces = aliases.select("alias").distinct()
@@ -98,12 +134,13 @@ def detect_mentions(
         F.broadcast(surfaces), candidates["surface"] == surfaces["alias"], "inner"
     ).select(
         "url",
+        "text",
         "begin",
         (F.col("begin") + F.length("surface")).cast("int").alias("end"),
         "surface",
     )
 
-    # attach masked context from the page text (join back on url).
+    # masked context from the row's own page text (no join back).
     # left/right halves are kept separate so the encoder can weight tokens
     # by distance from the mention (adjacent context >> far context —
     # mirrors BERT's locality and stops neighbor-mention leakage).
@@ -113,8 +150,7 @@ def detect_mentions(
     )
     ctx_right = F.expr(f"substring(text, `end` + 2, {CTX_CHARS})")
     out = (
-        mentions.join(pages.select("url", "text"), "url")
-        .withColumn("ctx_left", ctx_left)
+        mentions.withColumn("ctx_left", ctx_left)
         .withColumn("ctx_right", ctx_right)
         .withColumn("ctx", F.concat_ws(" ", F.col("ctx_left"), F.col("ctx_right")))
         .withColumn(

@@ -70,13 +70,28 @@ class ERPipeline:
 
     # each stage: read prev snapshot -> transform -> write snapshot
     def stage_extract(self, pages: DataFrame) -> None:
-        """P1 filter + J7 as-of + E1 extraction. Filters run BEFORE the
-        UDF (pushdown doesn't cross the Arrow boundary, §4 X10)."""
-        latest = mentions.latest_snapshot(mentions.english_pages(pages))
-        extracted = with_extracted_text(latest).select(
+        """P1 filter + E1 extraction + J7 as-of. Filters run BEFORE the
+        UDF (pushdown doesn't cross the Arrow boundary, §4 X10).
+
+        r7 reorder (guide §2.3): the extractor UDF now runs BEFORE the
+        as-of window, and the raw ``text``/``html`` columns are projected
+        away pre-exchange — so the url shuffle carries
+        (url, warc_ts, extracted, lang) instead of (url, warc_ts, html,
+        text, lang): ~2.5x fewer exchange bytes at every scale, and the
+        Python extractor runs at the SOURCE's parallelism instead of the
+        post-shuffle width. Cost: stale url snapshots (~5% of rows) are
+        extracted and then discarded by the window — per-row
+        deterministic, so selecting latest-then-extract and
+        extract-then-latest produce identical tables (golden-hash +
+        er_extract_hashes gated)."""
+        eng = mentions.english_pages(pages).select(
+            "url", "warc_ts", "html", "lang"
+        )
+        extracted = with_extracted_text(eng).select(
             "url", "warc_ts", F.col("text_extracted").alias("text"), "lang"
         )
-        self.io.write(extracted, "stage_extract", stage="extract")
+        latest = mentions.latest_snapshot(extracted)
+        self.io.write(latest, "stage_extract", stage="extract")
 
     def stage_mention(self) -> None:
         pages = self.io.read("stage_extract")

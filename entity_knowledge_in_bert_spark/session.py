@@ -25,6 +25,20 @@ ENGINE_CONFS: dict[str, str] = {
     # Sandbox-friendly shuffle width; on a real cluster this is set from
     # input size (or left to AQE's coalescing with a high initial value).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # AQE coalescing floor (r7, guide §2.2/§2.6 — measured): the default
+    # 1 MB minPartitionSize let AQE coalesce every small COMPRESSED
+    # shuffle to a handful of partitions, which then (a) ran the
+    # Python-heavy consumers of that exchange (extract/encoder UDFs) on
+    # 7 of 32 cores and (b) wrote few-file snapshots whose readers
+    # inherit the starvation (file-split floor is one file). 64 KB keeps
+    # small-corpus parallelism at the configured shuffle width
+    # (measured: mention stage 6.9 s -> 2.6 s at 20k pages) and is
+    # size-neutral at scale: with parallelismFirst=true, coalescing
+    # only ever MERGES below-floor partitions, and any shuffle larger
+    # than (width x floor) bytes is untouched either way. Parameterised
+    # for clusters that want larger output files from tiny stages.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "64k"),
 }
 
 
