@@ -296,12 +296,30 @@ class IncrementalER:
         scored = scoring.score_pairs(feat, aliases)
         keep = ("block_key",) if self.block_contract else ()
         edges = scoring.match_edges(scored, keep=keep)
-        self.io.write(edges, "stage_score", stage="score_delta", append=True,
-                      tag=tag)
+        score_snap = self.io.write(edges, "stage_score", stage="score_delta",
+                                   append=True, tag=tag)
         self.timings["score"] = time.time() - t0
 
         # -- cluster: merge only touched components -----------------------
         t0 = time.time()
+        # Manifest-derived upper bounds for the touched subgraphs (r7,
+        # guide §1.2 — free, no count jobs): the merge's star∪delta edge
+        # set is bounded by |old assignment| + |delta edges|; the retract
+        # re-solve's surviving subgraph by the full stage_score chain.
+        # Passed ONLY when the bound is small enough to take
+        # cluster._solve_local's exact single-task path (measured here:
+        # the 150-page-delta merge-cluster step was 65 s of LS/SS loop
+        # iterations for a subgraph one task solves in <1 s); a bound
+        # above the cutover keeps the previous shuffle-width fallback —
+        # a corpus-loose bound must not widen the init exchange.
+        from ..operators.cluster import LOCAL_CC_MAX_EDGES
+
+        def _local_bound(n: int) -> int | None:
+            return n if 0 <= n <= LOCAL_CC_MAX_EDGES else None
+
+        merge_bound = _local_bound(
+            self.io.snapshot_entry("stage_cluster")["rows"] + score_snap.rows
+        )
         old = self.io.read("stage_cluster").select("mention_id", "cluster_id")
         if retracts is not None:
             # removing a node can SPLIT a component: re-solve exactly the
@@ -324,11 +342,12 @@ class IncrementalER:
             sub_edges = all_edges.join(
                 sub.withColumnRenamed("mention_id", "src"), "src", "semi"
             ).join(sub.withColumnRenamed("mention_id", "dst"), "dst", "semi")
-            resolved = assign_clusters(sub, sub_edges).select(
-                "mention_id", "cluster_id"
-            )
+            resolved = assign_clusters(
+                sub, sub_edges,
+                n_edges=_local_bound(self.io.chain_rows("stage_score")),
+            ).select("mention_id", "cluster_id")
             old = keep.unionByName(resolved)
-        merged = merge_components(old, edges)
+        merged = merge_components(old, edges, n_edges=merge_bound)
         # isolated delta mentions -> singleton clusters (same convention
         # as the batch stage_cluster)
         singles = (

@@ -23,6 +23,15 @@ from ..sources.tableio import TableIO
 
 STAGES = ["extract", "mention", "block", "pairs", "score", "cluster"]
 
+# Broadcast the mention-feature table into the pair joins while it fits
+# (guide §3.1): ~300 B/row (surface + 64-float vec) => 500k rows is
+# ~150 MB built — comfortably inside the 48 GB local driver and any
+# production executor sizing, far under the 8 GB broadcast cap. Above
+# the threshold the shuffle joins (or the bucketed mention layout) take
+# over; the decision input is the snapshot manifest's row count, not a
+# planner size estimate.
+BROADCAST_MENTIONS_MAX_ROWS = 500_000
+
 # persisted stage_mention schema (batch AND delta writes — a chain read
 # resolves one footer's schema, so both paths must project identically):
 # everything downstream consumers touch, and nothing they don't. The
@@ -114,9 +123,6 @@ class ERPipeline:
             if self.bucket_mentions
             else None
         )
-        self.io.write(m, "stage_mention", stage="mention",
-                      inputs=[self.io.latest_snapshot("stage_extract")],
-                      bucket_by=bucket)
         # persist the frozen encoder artifact: delta runs must embed with
         # the BASE corpus's IDF or their vectors drift vs stored ones
         # (plans/incremental.py reads this back). Bounded table —
@@ -134,7 +140,19 @@ class ERPipeline:
             ),
             "tok string, idf double",
         )
-        self.io.write(idf_df, "model_idf", stage="model_idf")
+        # overlap the two INDEPENDENT writes (different tables — guide
+        # §2.6: actions are only sequential because driver code calls
+        # them sequentially): the tiny model_idf job back-fills executor
+        # slots while the corpus-sized mention write runs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.io.write, idf_df, "model_idf",
+                              stage="model_idf")
+            self.io.write(m, "stage_mention", stage="mention",
+                          inputs=[self.io.latest_snapshot("stage_extract")],
+                          bucket_by=bucket)
+            fut.result()
 
     def stage_block(self) -> None:
         m = self.io.read("stage_mention")
@@ -144,20 +162,30 @@ class ERPipeline:
         # mentions must salt with the base moduli to land in the same
         # buckets as base mentions of the same entity.
         salts = blocking.entity_salts(cand, self.max_block)
-        self.io.write(salts, "block_salts", stage="block_salts")
         # the block-size cap trades recall; its drop count rides the
         # SAME write pass (Observation) into the stage's lineage rows so
         # the trade is auditable after the run (VERDICT r5 #8)
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import Observation
 
         obs = Observation()
+        # the keys plan salts with the SAME deterministic moduli the
+        # artifact write persists (entity_salts is a plain groupBy —
+        # identical values recomputed), so the two writes are
+        # independent and overlap (guide §2.6); delta runs still read
+        # the persisted artifact.
         keys = blocking.block_keys(
             m, cand, max_block=self.max_block,
-            salts=self.io.read("block_salts"), observation=obs,
+            salts=salts, observation=obs,
         )
-        self.io.write(keys, "stage_block", stage="block",
-                      inputs=[self.io.latest_snapshot("stage_mention")],
-                      metrics=obs)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.io.write, salts, "block_salts",
+                              stage="block_salts")
+            self.io.write(keys, "stage_block", stage="block",
+                          inputs=[self.io.latest_snapshot("stage_mention")],
+                          metrics=obs)
+            fut.result()
 
     def stage_pairs(self) -> None:
         keys = self.io.read("stage_block")
@@ -169,7 +197,15 @@ class ERPipeline:
         p = self.io.read("stage_pairs")
         m = self.io.read("stage_mention")
         aliases = datagen.alias_df(self.spark)
-        feat = pairs.attach_features(p, m)
+        # manifest row count decides the join strategy for free (guide
+        # §3.1): under the threshold the mention-feature table broadcasts
+        # and the vec-carrying pair table is never shuffled; above it the
+        # planner keeps the shuffle joins (or the bucketed layout when
+        # bucket_mentions is set).
+        m_rows = self.io.snapshot_entry("stage_mention")["rows"]
+        feat = pairs.attach_features(
+            p, m, broadcast_mentions=m_rows <= BROADCAST_MENTIONS_MAX_ROWS
+        )
         scored = scoring.score_pairs(feat, aliases)
         keep = ("block_key",) if self.block_contract else ()
         edges = scoring.match_edges(scored, keep=keep)
@@ -223,6 +259,13 @@ class ERPipeline:
             n_edges=n_edges,
             contract_by="block_key" if self.block_contract else None,
         )
+        # comp has one row per edge-incident mention, so it is bounded by
+        # the mention count — manifest-known (guide §3.1): broadcast it
+        # into the left join while it fits and the mention-id side is
+        # never shuffled; above the threshold the planner keeps SMJ.
+        m_rows = self.io.snapshot_entry("stage_mention")["rows"]
+        if m_rows <= BROADCAST_MENTIONS_MAX_ROWS:
+            comp = F.broadcast(comp)
         clusters = (
             m.select("mention_id")
             .join(comp, "mention_id", "left")

@@ -324,6 +324,27 @@ class TableIO:
     def exists(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None
 
+    def chain_rows(self, table: str, snapshot_id: str | None = None) -> int:
+        """Total row count of a snapshot's full include-chain (the live
+        view `read` resolves) — driver-side manifest arithmetic, no Spark
+        job. For append chains each entry's `rows` counts only its own
+        files, so the live total is the sum over the chain; replace-style
+        snapshots have no `includes` and return their own count."""
+        snap = snapshot_id or self.latest_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no complete snapshot")
+        by_id = {
+            s["snapshot_id"]: s for s in self._load_manifest(table)["snapshots"]
+        }
+        total, todo = 0, [snap]
+        while todo:
+            s = by_id.get(todo.pop())
+            if s is None:
+                continue
+            total += int(s.get("rows", 0))
+            todo.extend(s.get("includes", []))
+        return total
+
     def read(
         self, table: str, snapshot_id: str | None = None, chain: bool = True
     ) -> DataFrame:
