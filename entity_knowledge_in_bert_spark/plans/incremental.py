@@ -66,7 +66,7 @@ class IncrementalER:
         spark: SparkSession,
         io: TableIO,
         max_block: int = 64,
-        block_contract: bool = False,
+        block_contract: bool = True,
     ):
         """``block_contract`` mirrors ERPipeline's flag (same default,
         and a base+delta warehouse must use the SAME setting on both

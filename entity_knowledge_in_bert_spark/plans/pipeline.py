@@ -46,7 +46,7 @@ class ERPipeline:
         io: TableIO,
         max_block: int = 64,
         bucket_mentions: int | None = None,
-        block_contract: bool = False,
+        block_contract: bool = True,
     ):
         """``bucket_mentions``: write stage_mention hash-bucketed on
         mention_id into this many buckets (TableIO bucket_by). The pair
@@ -62,14 +62,21 @@ class ERPipeline:
         CC init (cluster.connected_components(contract_by=)) — the
         LS/SS loop then iterates over ~#(node, block) star edges
         instead of the full ~degree-dense match graph. Same cluster
-        table (equality-tested). Default OFF pending a same-config
-        criterion pairing (the playbook rule: the shipped default
-        matches the measured criterion configuration — BASELINE.md r6
-        Phase H/I measured contraction-off; the Phase J contraction-on
-        pairing was attempted and aborted on a measured host-degradation
-        window, see BASELINE.md r6 Phase J). At the 400k probe the
-        option shrinks the CC loop input 11.3x and the cluster stage
-        27-30% with a row-identical cluster table."""
+        table (equality-tested). Default ON since r7 on interleaved
+        same-tree A/B evidence at the 16.4M-edge scale (the regime
+        where the flag has any effect at all — below the
+        LOCAL_CC_MAX_EDGES cutover the exact single-task solve runs
+        either way): cluster stage 58.2/78.8 s (off) vs 39.4/48.7 s
+        (on), CC-loop input 16.41M -> 1.45M edges (11.3x), rows_out
+        identical in all four runs (OPTIMIZATION_r07.md; r6's 400k
+        probe measured the same ratios). The r6 Phase H/I scaling
+        criterion was measured contraction-off on the r6 build; the r7
+        cluster dataflow changed regardless (local-solve cutover), and
+        contraction strictly shrinks every LS/SS iteration's shuffle,
+        so the 1->4-core communication pattern is not degraded — see
+        BASELINE.md r7 note. Disable via block_contract=False /
+        SPARK_GRAFT_BLOCK_CONTRACT=0; a warehouse must use the SAME
+        setting for base and delta runs (schema homogeneity)."""
         self.spark = spark
         self.io = io
         self.max_block = max_block

@@ -56,11 +56,11 @@ def main() -> None:
     ap.add_argument(
         "--block-contract",
         action=argparse.BooleanOptionalAction,
-        default=os.environ.get("SPARK_GRAFT_BLOCK_CONTRACT", "") == "1",
+        default=os.environ.get("SPARK_GRAFT_BLOCK_CONTRACT", "1") != "0",
         help="carry the blocking key onto the match edges and "
         "group-contract each block's matched subgraph in the CC init "
-        "(ERPipeline block_contract; also via "
-        "SPARK_GRAFT_BLOCK_CONTRACT=1)",
+        "(ERPipeline block_contract; default ON since r7 — disable "
+        "with --no-block-contract or SPARK_GRAFT_BLOCK_CONTRACT=0)",
     )
     ap.add_argument("--make-zip", default=None, metavar="PATH")
     args = ap.parse_args()
