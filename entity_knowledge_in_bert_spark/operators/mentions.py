@@ -26,14 +26,27 @@ CTX_CHARS = 80  # context window (chars) each side, surface masked out
 def latest_snapshot(pages: DataFrame) -> DataFrame:
     """J7/W2 as-of dedup: keep the newest warc_ts per url.
 
-    Window formulation of the as-of/latest join; at scale this shuffles
-    once on url (the natural partitioning of every downstream step).
+    r7 (guide §2.3 — aggregate before you shuffle): ``max_by`` aggregation
+    instead of the row_number window. Same one exchange on url, but the
+    hash aggregate does PARTIAL map-side reduction (duplicate snapshots
+    of a url never cross the wire — on a real crawl most urls have many)
+    and needs no per-partition sort, where the window formulation shipped
+    every snapshot and sorted each partition. Row-identical for inputs
+    whose (url, warc_ts) pairs are unique per url (both formulations pick
+    an arbitrary-but-consistent row on exact-ts ties) — equality-pinned
+    in tests/test_mentions.py and by the er_extract_hashes oracle.
     """
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    others = [c for c in pages.columns if c != "url"]
+    agg = pages.groupBy("url").agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col("warc_ts")).alias(
+            "_r"
+        )
+    )
+    return agg.select(
+        *[
+            F.col("url") if c == "url" else F.col(f"_r.{c}").alias(c)
+            for c in pages.columns
+        ]
     )
 
 

@@ -90,6 +90,26 @@ def test_detect_mentions_matches_legacy_formulation(spark):
     assert len(sn) > 100  # non-degenerate corpus
 
 
+def test_latest_snapshot_matches_window_formulation(spark):
+    """r7 max_by aggregation == the legacy row_number window on a corpus
+    WITH duplicate-url stale snapshots (the ~5% J7 fixture), including
+    column order and values."""
+    pages = datagen.gen_pages_df(spark, 400)  # ~5% urls carry 2 snapshots
+    new = mentions.latest_snapshot(pages)
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    old = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert new.columns == old.columns
+    assert new.schema.simpleString() == old.schema.simpleString()
+    sn = {tuple(r) for r in new.collect()}
+    so = {tuple(r) for r in old.collect()}
+    assert sn == so
+    assert pages.count() > len(sn)  # the dedup actually dropped stales
+
+
 def test_detect_mentions_plan_has_no_exchange(spark):
     """The r7 win being guarded: detection itself plans ZERO shuffles —
     only the alias BroadcastExchange (guide §2.4)."""
