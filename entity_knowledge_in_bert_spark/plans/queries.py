@@ -2119,7 +2119,10 @@ FROM grams JOIN bigram_dict ON surface = alias
 def e2_mention_offsets(spark, sf_dir):
     """E2 — dictionary mention detection WITH char offsets over the
     documents table (the oracle-checked twin of the ER pipeline's
-    detect_mentions; same window-cumsum + lead + broadcast-join plan)."""
+    detect_mentions). Deliberately KEPT in the window-cumsum + lead
+    formulation detect_mentions used before r7 — it pins the offset
+    semantics the shuffle-free rewrite is equality-tested against, and
+    its oracle SQL is frozen."""
     d = T(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
